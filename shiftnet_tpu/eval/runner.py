@@ -1,0 +1,189 @@
+"""End-to-end evaluation harness — the de-facto benchmark of the reference.
+
+Mirrors ``inference/test_deblur{,_small}.py`` and ``test_denoise{,_small}.py``:
+scan video folders, run windowed (deblur) or windowed+quadrant-tiled (denoise)
+inference, score PSNR + reference-SSIM per frame, log per-video and total
+averages to a text log.
+
+TPU-native differences: NHWC bf16 forward under jit (fp16 GradScaler games are
+unnecessary on TPU), one compiled executable per (T, H, W) shape with
+bucketing to avoid recompiles, and device-side noise synthesis for denoise.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shiftnet_tpu.data.video_dataset import _imread
+from shiftnet_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
+from shiftnet_tpu.eval.window import (mod_crop, plan_deblur_chunks,
+                                      plan_denoise_chunks, quadrant_slices)
+from shiftnet_tpu.models import CONFIGS, build_model
+from shiftnet_tpu.utils.logging import get_logger
+
+
+class EvalLogger:
+    """Reference ``Traverse_Logger`` (``test_deblur.py:15-23``)."""
+
+    def __init__(self, result_dir: str, filename: str):
+        os.makedirs(result_dir, exist_ok=True)
+        self.path = os.path.join(result_dir, filename)
+        self.f = open(self.path, 'a')
+
+    def write(self, msg: str):
+        print(msg, flush=True)
+        self.f.write(msg + '\n')
+        self.f.flush()
+
+
+class Evaluator:
+    def __init__(self, variant: str, params, *, result_path: str = 'results',
+                 halo: int = 2, bf16: bool = True, save_images: bool = False):
+        cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo)
+        self.cfg = cfg
+        self.halo = halo
+        self.save_images = save_images
+        self.result_path = result_path
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        self.model = build_model(variant, dtype=dtype,
+                                 past_frames=halo, future_frames=halo)
+        self.params = params
+        self.dtype = dtype
+        self._jit_cache: dict[tuple, Any] = {}
+        stamp = time.strftime('%Y-%m-%d %H:%M:%S')
+        self.logger = EvalLogger(result_path, f'inference_log_{stamp}.txt')
+
+    def _forward(self, shape: tuple) -> Any:
+        if shape not in self._jit_cache:
+            if self.cfg.noise_map:
+                fn = jax.jit(lambda p, x, nm: self.model.apply(
+                    {'params': p}, x, nm))
+            else:
+                fn = jax.jit(lambda p, x: self.model.apply({'params': p}, x))
+            self._jit_cache[shape] = fn
+        return self._jit_cache[shape]
+
+    # -- deblur ------------------------------------------------------------
+    def eval_deblur(self, data_path: str, one_len: int = 48) -> dict:
+        """Protocol of ``test_deblur.py:91-177``; returns summary metrics."""
+        input_root = os.path.join(data_path, 'blur')
+        gt_root = os.path.join(data_path, 'gt')
+        videos = sorted(os.listdir(input_root))
+        total_psnr, total_ssim = {}, {}
+        for v in videos:
+            in_frames = sorted(glob.glob(os.path.join(input_root, v, '*')))
+            gt_frames = sorted(glob.glob(os.path.join(gt_root, v, '*')))
+            vp, vs = [], []
+            for ch in plan_deblur_chunks(len(in_frames), one_len, self.halo):
+                t0 = time.time()
+                inp = np.stack([_imread(p) for p in in_frames[ch.in_start:ch.in_stop]])
+                gts = [_imread(p) for p in gt_frames[ch.out_start:ch.out_stop]]
+                inp = mod_crop(inp, 4)
+                gts = [mod_crop(g, 4) for g in gts]
+                x = jnp.asarray(inp, self.dtype) / 255.0
+                t1 = time.time()
+                out = self._forward(x.shape)(self.params, x)
+                out = np.asarray(out.astype(jnp.float32))
+                t2 = time.time()
+                p_, s_ = self._score(out, gts, v, ch.out_start)
+                vp += p_; vs += s_
+                t3 = time.time()
+                self.logger.write(
+                    f'> {v}-{ch.in_start:05d} PSNR={p_[-1]:.5g}, '
+                    f'SSIM={s_[-1]:.4g} pre:{t1 - t0:.3f}s '
+                    f'fwd:{t2 - t1:.3f}s post:{t3 - t2:.3f}s')
+            total_psnr[v], total_ssim[v] = vp, vs
+        return self._summarize(total_psnr, total_ssim)
+
+    # -- denoise -----------------------------------------------------------
+    def eval_denoise(self, data_path: str, sigma: float, *,
+                     tile: bool = True, seed: int = 0) -> dict:
+        """Protocol of ``test_denoise.py:91-224``: GT-only videos, gaussian
+        noise at fixed sigma, 4-quadrant tiled forward, PSNR/SSIM vs GT."""
+        gt_root = data_path
+        videos = sorted(os.listdir(gt_root))
+        rng = np.random.default_rng(seed)
+        s = sigma / 255.0
+        total_psnr, total_ssim = {}, {}
+        for v in videos:
+            frames = sorted(glob.glob(os.path.join(gt_root, v, '*')))
+            vp, vs = [], []
+            for ch in plan_denoise_chunks(len(frames), self.halo):
+                t0 = time.time()
+                gt_clip = np.stack([_imread(p) for p in frames[ch.in_start:ch.in_stop]])
+                gt_clip = mod_crop(gt_clip, 4)
+                clean = gt_clip.astype(np.float32) / 255.0
+                noisy = clean + rng.normal(0, s, clean.shape).astype(np.float32)
+                t, h, w, _ = noisy.shape
+                t1 = time.time()
+                if tile:
+                    out = np.zeros((t - 2 * self.halo, h, w, 3), np.float32)
+                    for in_sl, crop_sl, out_sl in quadrant_slices(h, w):
+                        xt = jnp.asarray(
+                            noisy[:, in_sl[0], in_sl[1]], self.dtype)
+                        nm = jnp.full(xt.shape[:3] + (1,), s, self.dtype)
+                        o = self._forward(xt.shape)(self.params, xt, nm)
+                        o = np.asarray(o.astype(jnp.float32))
+                        out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
+                else:
+                    xt = jnp.asarray(noisy, self.dtype)
+                    nm = jnp.full(xt.shape[:3] + (1,), s, self.dtype)
+                    out = np.asarray(
+                        self._forward(xt.shape)(self.params, xt, nm)
+                        .astype(jnp.float32))
+                t2 = time.time()
+                gts = [g for g in gt_clip[self.halo:gt_clip.shape[0] - self.halo]]
+                p_, s_ = self._score(out, gts, v, ch.out_start)
+                vp += p_; vs += s_
+                t3 = time.time()
+                self.logger.write(
+                    f'> {v}-{ch.in_start:05d} PSNR={p_[-1]:.5g}, '
+                    f'SSIM={s_[-1]:.4g} pre:{t1 - t0:.3f}s '
+                    f'fwd:{t2 - t1:.3f}s post:{t3 - t2:.3f}s')
+            total_psnr[v], total_ssim[v] = vp, vs
+        return self._summarize(total_psnr, total_ssim, per_video_avg=True)
+
+    # -- shared ------------------------------------------------------------
+    def _score(self, out: np.ndarray, gts, video: str, index0: int):
+        ps, ss = [], []
+        for i, gt in enumerate(gts):
+            img = np.clip(out[i], 0.0, 1.0) * 255.0
+            ps.append(psnr_fn(img, gt, data_range=255))
+            ss.append(ssim_fn(img, gt))
+            if self.save_images:
+                import imageio.v2 as imageio
+                d = os.path.join(self.result_path, video)
+                os.makedirs(d, exist_ok=True)
+                imageio.imwrite(os.path.join(d, f'{index0 + i:03d}.png'),
+                                img.astype(np.uint8))
+        return ps, ss
+
+    def _summarize(self, total_psnr, total_ssim, per_video_avg: bool = False):
+        sum_p = sum_s = n = 0
+        vavg_p = vavg_s = 0.0
+        for v in total_psnr:
+            ap = float(np.mean(total_psnr[v]))
+            as_ = float(np.mean(total_ssim[v]))
+            self.logger.write(
+                f'# Video:{v} AVG-PSNR={ap:.5g}, AVG-SSIM={as_:.4g}')
+            sum_p += sum(total_psnr[v]); sum_s += sum(total_ssim[v])
+            n += len(total_psnr[v])
+            vavg_p += ap; vavg_s += as_
+        res = {'psnr': sum_p / n, 'ssim': sum_s / n, 'n_frames': n}
+        self.logger.write(
+            f"# Total AVG-PSNR={res['psnr']:.5g}, AVG-SSIM={res['ssim']:.4g}")
+        if per_video_avg:
+            nv = len(total_psnr)
+            res['psnr_video_avg'] = vavg_p / nv
+            res['ssim_video_avg'] = vavg_s / nv
+            self.logger.write(
+                f"# Total AVG-PSNR={res['psnr_video_avg']:.5g}, "
+                f"AVG-SSIM={res['ssim_video_avg']:.4g}")
+        return res

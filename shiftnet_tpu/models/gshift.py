@@ -1,0 +1,241 @@
+"""GShiftNet — grouped spatial-temporal shift video restoration network.
+
+One parameterized flax implementation spanning all four reference variants
+(the reference keeps four ~800-line copy-pasted files:
+``basicsr/models/archs/gshift_{deblur1,deblur2,denoise1,denoise2}.py``).
+
+Input is a single clip, frames-as-batch NHWC ``(T, H, W, C_in)``; batch is
+added via ``jax.vmap`` outside.  The forward predicts the ``T - past - future``
+center frames with a global residual to the input (reference
+``gshift_deblur1.py:783-791``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shiftnet_tpu.models.layers import (
+    CAB, Conv2d, DownSample, EncoderShiftBlock, PReLU, PixelShufflePack,
+    ShiftCAB, SkipUpSample, TFRUNet,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class GShiftNetConfig:
+    """Static architecture configuration covering the 4 reference variants."""
+    name: str = 'deblur_plus'
+    in_channels: int = 3          # 4 for denoise (RGB + noise map)
+    n_feats0: int = 24            # full-res width (14 small)
+    n_feats2: int = 80            # Encoder2 width (64 small)
+    num_orbs: int = 5             # TFR_UNets per stage0/stage2 (3 small)
+    tfr_scale: int = 12           # TFR_UNet width increment per level (4 small)
+    shift_rounds: int = 8         # GSTS rounds per shift block (4 small)
+    encoder2_levels: int = 3      # U-Net depth of Encoder2 (2 small)
+    encoder2_shift_encoder: bool = False   # small: shift blocks in encoder too
+    encoder2_level0_shift_cabs: bool = False  # denoise+: Shift_CABs at full res
+    encoder2_level1_shift_cabs: bool = False  # denoise+: Shift_CABs at level 1
+    final_fuse_concat: bool = True  # concat+conv_hr0 (vs add, deblur-small)
+    boundary_patch: bool = True     # patch boundary frames in temporal shift
+    cab_mid_ca: bool = False        # denoise: extra CALayer2 after SimpleGate
+    cab_last_bias: bool = False     # denoise: biased final 1x1 in CAB1/CAB2
+    ca_reduction: int = 4           # 1 for deblur-small (hardcoded in ref)
+    repconv_depthwise: bool = False  # small: fully-depthwise RepConv
+    downsample_prelu: bool = False   # denoise: DownSample bias=False + PReLU
+    stage_residual: bool = True      # deblur: stage0/stage2 shortcuts
+    stage2_uses_conv_trans: bool = False  # denoise: stage2 gets sam_features
+    rconcat_bias: bool = True
+    rconcat_act: bool = False       # denoise: PReLU after rconcat
+    conv_last_ks: int = 5           # 3 for denoise
+    past_frames: int = 1            # num_fb (0 denoise train, 2 deblur test)
+    future_frames: int = 1          # num_ff
+
+    @property
+    def noise_map(self) -> bool:
+        return self.in_channels == 4
+
+    def replace(self, **kw) -> 'GShiftNetConfig':
+        return dataclasses.replace(self, **kw)
+
+
+DEBLUR_PLUS = GShiftNetConfig(name='deblur_plus')
+DEBLUR_SMALL = GShiftNetConfig(
+    name='deblur_small', n_feats0=14, n_feats2=64, num_orbs=3, tfr_scale=4,
+    shift_rounds=4, encoder2_levels=2, encoder2_shift_encoder=True,
+    final_fuse_concat=False, boundary_patch=False, ca_reduction=1,
+    repconv_depthwise=True)
+DENOISE_PLUS = GShiftNetConfig(
+    name='denoise_plus', in_channels=4, encoder2_level0_shift_cabs=True,
+    encoder2_level1_shift_cabs=True, cab_mid_ca=True, cab_last_bias=True,
+    downsample_prelu=True, stage_residual=False, stage2_uses_conv_trans=True,
+    rconcat_bias=False, rconcat_act=True, conv_last_ks=3,
+    past_frames=0, future_frames=0)
+DENOISE_SMALL = GShiftNetConfig(
+    name='denoise_small', in_channels=4, n_feats0=14, n_feats2=64, num_orbs=3,
+    tfr_scale=4, shift_rounds=4, encoder2_levels=2,
+    encoder2_shift_encoder=True, cab_mid_ca=True, cab_last_bias=True,
+    downsample_prelu=True, repconv_depthwise=True, stage_residual=False,
+    stage2_uses_conv_trans=True, rconcat_bias=False, rconcat_act=True,
+    conv_last_ks=3, past_frames=0, future_frames=0)
+
+CONFIGS = {c.name: c for c in
+           (DEBLUR_PLUS, DEBLUR_SMALL, DENOISE_PLUS, DENOISE_SMALL)}
+
+
+class Encoder2(nn.Module):
+    """The temporal-fusion U-Net (``gshift_deblur1.py:548-642``, small variant
+    ``gshift_deblur2.py:531-614``, denoise variant
+    ``gshift_denoise1.py:573-670``)."""
+    cfg: GShiftNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        nf = cfg.n_feats2
+        nf0 = cfg.n_feats0
+        red = cfg.ca_reduction
+        cab_kw = dict(kernel_size=3, reduction=red, dtype=self.dtype)
+        shift_kw = dict(
+            rounds=cfg.shift_rounds, reduction=red,
+            boundary_patch=cfg.boundary_patch, mid_ca=cfg.cab_mid_ca,
+            last_bias=cfg.cab_last_bias,
+            repconv_depthwise=cfg.repconv_depthwise, dtype=self.dtype)
+
+        x = CAB(nf0, name='concat', **cab_kw)(x)
+        shortcut = x
+        if cfg.encoder2_level0_shift_cabs:
+            x = ShiftCAB(nf0, name='encoder_level0', **cab_kw)(x)
+            x = ShiftCAB(nf0, reverse=True, name='encoder_level0_1', **cab_kw)(x)
+        x = Conv2d(nf, 2, stride=2, padding=0, use_bias=False,
+                   dtype=self.dtype, name='down01__0')(x)
+        x = PReLU(dtype=self.dtype, name='down01__1')(x)
+
+        if cfg.encoder2_shift_encoder:
+            # Small variants: 3 shift blocks per encoder level, 2 levels.
+            enc1 = EncoderShiftBlock(nf, name='encoder_level1', **shift_kw)(x)
+            enc11 = EncoderShiftBlock(nf, name='encoder_level1_1', **shift_kw)(enc1)
+            enc11 = EncoderShiftBlock(nf, name='encoder_level1_2', **shift_kw)(enc11)
+            y = DownSample(nf, with_prelu=cfg.downsample_prelu,
+                           dtype=self.dtype, name='down12')(enc11)
+            enc2 = EncoderShiftBlock(nf, name='encoder_level2', **shift_kw)(y)
+            enc22 = EncoderShiftBlock(nf, name='encoder_level2_1', **shift_kw)(enc2)
+            enc22 = EncoderShiftBlock(nf, name='encoder_level2_2', **shift_kw)(enc22)
+
+            dec2 = EncoderShiftBlock(nf, name='decoder_level2', **shift_kw)(enc22)
+            dec22 = EncoderShiftBlock(nf, name='decoder_level2_1', **shift_kw)(dec2)
+            dec22 = EncoderShiftBlock(nf, name='decoder_level2_2', **shift_kw)(dec22)
+            skip1 = CAB(nf, name='skip_attn1', **cab_kw)(enc11)
+            y = SkipUpSample(nf, dtype=self.dtype, name='up21')(dec22, skip1)
+            dec1 = EncoderShiftBlock(nf, name='decoder_level1', **shift_kw)(y)
+            dec11 = EncoderShiftBlock(nf, name='decoder_level1_1', **shift_kw)(dec1)
+            dec11 = EncoderShiftBlock(nf, name='decoder_level1_2', **shift_kw)(dec11)
+        else:
+            # Big variants: plain-CAB (or Shift_CAB) encoder, 3 levels;
+            # shift blocks only in the decoder.
+            if cfg.encoder2_level1_shift_cabs:
+                enc1 = ShiftCAB(nf, name='encoder_level1', **cab_kw)(x)
+                enc11 = ShiftCAB(nf, reverse=True,
+                                 name='encoder_level1_1', **cab_kw)(enc1)
+            else:
+                enc1 = CAB(nf, name='encoder_level1', **cab_kw)(x)
+                enc11 = CAB(nf, name='encoder_level1_1', **cab_kw)(enc1)
+            y = DownSample(nf, with_prelu=cfg.downsample_prelu,
+                           dtype=self.dtype, name='down12')(enc11)
+            enc2 = CAB(nf, name='encoder_level2', **cab_kw)(y)
+            enc22 = CAB(nf, name='encoder_level2_1', **cab_kw)(enc2)
+            y = DownSample(nf, with_prelu=cfg.downsample_prelu,
+                           dtype=self.dtype, name='down23')(enc22)
+            enc3 = CAB(nf, name='encoder_level3', **cab_kw)(y)
+            enc33 = CAB(nf, name='encoder_level3_1', **cab_kw)(enc3)
+
+            dec3 = EncoderShiftBlock(nf, name='decoder_level3', **shift_kw)(enc33)
+            dec33 = EncoderShiftBlock(nf, name='decoder_level3_1', **shift_kw)(dec3)
+            skip2 = CAB(nf, name='skip_attn2', **cab_kw)(enc22)
+            y = SkipUpSample(nf, dtype=self.dtype, name='up32')(dec33, skip2)
+            dec2 = EncoderShiftBlock(nf, name='decoder_level2', **shift_kw)(y)
+            dec22 = EncoderShiftBlock(nf, name='decoder_level2_1', **shift_kw)(dec2)
+            skip1 = CAB(nf, name='skip_attn1', **cab_kw)(enc11)
+            y = SkipUpSample(nf, dtype=self.dtype, name='up21')(dec22, skip1)
+            dec1 = EncoderShiftBlock(nf, name='decoder_level1', **shift_kw)(y)
+            dec11 = EncoderShiftBlock(nf, name='decoder_level1_1', **shift_kw)(dec1)
+            dec11 = EncoderShiftBlock(nf, name='decoder_level1_2', **shift_kw)(dec11)
+
+        up = PixelShufflePack(nf0, scale=2, upsample_kernel=3,
+                              dtype=self.dtype, name='upsample0')(dec11)
+        skip = CAB(nf0, name='skip_conv', **cab_kw)(shortcut)
+        if cfg.final_fuse_concat:
+            out = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
+                         name='conv_hr0')(jnp.concatenate([up, skip], axis=-1))
+        else:
+            up = PReLU(dtype=self.dtype, name='act')(up)
+            out = Conv2d(nf0, 3, use_bias=False, dtype=self.dtype,
+                         name='conv_hr0')(up) + skip
+        out = CAB(nf0, name='out_conv', **cab_kw)(out)
+        return out
+
+
+class GShiftNet(nn.Module):
+    """Full three-stage network (``gshift_deblur1.py:726-791``)."""
+    cfg: GShiftNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise_map=None):
+        cfg = self.cfg
+        nf0 = cfg.n_feats0
+        t = x.shape[0]
+        fb, ff = cfg.past_frames, cfg.future_frames
+        center = slice(fb, t - ff)
+        tfr_kw = dict(kernel_size=3, reduction=cfg.ca_reduction,
+                      scale_unetfeats=cfg.tfr_scale,
+                      downsample_prelu=cfg.downsample_prelu, dtype=self.dtype)
+
+        shortcut = x
+        inp = x
+        if cfg.noise_map:
+            assert noise_map is not None, 'denoise variants require a noise map'
+            inp = jnp.concatenate([x, noise_map.astype(x.dtype)], axis=-1)
+
+        x0 = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
+                    name='feat_extract__0')(inp)
+        x0 = CAB(nf0, kernel_size=3, reduction=cfg.ca_reduction,
+                 dtype=self.dtype, name='feat_extract__1')(x0)
+
+        # stage0: per-frame TFR U-Nets (gshift_deblur1.py:762-770).
+        y = x0
+        for i in range(cfg.num_orbs):
+            y = TFRUNet(nf0, name=f'orb{i + 1}', **tfr_kw)(y)
+        sam_features0 = y + x0 if cfg.stage_residual else y
+        sam_features = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
+                              name='conv_trans')(sam_features0)
+
+        # stage1: temporal-fusion U-Net.
+        decoder_outs = Encoder2(cfg, dtype=self.dtype, name='stage1')(sam_features)
+
+        # stage2: refine the center frames (gshift_deblur1.py:771-781).
+        stage2_feats = sam_features if cfg.stage2_uses_conv_trans else sam_features0
+        z = jnp.concatenate(
+            [x0[center], stage2_feats[center], decoder_outs[center]], axis=-1)
+        z = Conv2d(nf0, 3, use_bias=cfg.rconcat_bias, dtype=self.dtype,
+                   name='rconcat')(z)
+        if cfg.rconcat_act:
+            z = PReLU(dtype=self.dtype, name='lrelu')(z)
+        shortcut2 = z
+        for i in range(cfg.num_orbs):
+            z = TFRUNet(nf0, name=f'rorb{i + 1}', **tfr_kw)(z)
+        if cfg.stage_residual:
+            z = z + shortcut2
+        z = Conv2d(3, cfg.conv_last_ks, use_bias=False, dtype=self.dtype,
+                   name='conv_last')(z)
+        return z + shortcut[center]
+
+
+def build_model(name: str, *, dtype=jnp.float32, **overrides) -> GShiftNet:
+    cfg = CONFIGS[name].replace(**overrides) if overrides else CONFIGS[name]
+    return GShiftNet(cfg, dtype=dtype)

@@ -1,0 +1,437 @@
+"""Building blocks for GShiftNet, flax.linen, NHWC.
+
+Every module mirrors a reference block (cited per class) with torch-matching
+numerics and torch-default initialization.  Submodule names follow the torch
+attribute paths with ``.`` -> ``_`` (Sequential indices included), so the
+torch->JAX checkpoint converter in ``shiftnet_tpu/tools/convert_torch.py`` is a
+mechanical key rewrite.
+
+Layout: frames-as-batch NHWC ``(T, H, W, C)``.  Params are fp32; compute dtype
+(typically bf16 on TPU) is configurable per model.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shiftnet_tpu.ops.norm import layer_norm_2d
+from shiftnet_tpu.ops.resize import bilinear_up2x, pixel_shuffle
+from shiftnet_tpu.ops.shift import gsts, temporal_channel_shift
+
+Dtype = Any
+
+
+def _torch_conv_kernel_init(key, shape, dtype):
+    """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    flax HWIO kernel shape: (kh, kw, in_ch/groups, out_ch).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_conv_bias_init_factory(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """2D conv with torch-style explicit padding and default init.
+
+    Matches ``conv()`` / raw ``nn.Conv2d`` uses in the reference
+    (``gshift_deblur1.py:135-138``).
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int | None = None  # default k//2 (torch 'conv' helper)
+    use_bias: bool = False
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = k // 2 if self.padding is None else self.padding
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * k * k
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=_torch_conv_kernel_init,
+            bias_init=_torch_conv_bias_init_factory(fan_in),
+            name='conv',
+        )(x)
+        return y
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU, torch init 0.25 (``nn.PReLU()``)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param('weight', lambda k, s: jnp.full(s, 0.25, jnp.float32),
+                           (1,))
+        a = alpha.astype(x.dtype)
+        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+class LayerNorm2d(nn.Module):
+    """Reference ``LayerNorm2d`` (``gshift_deblur1.py:17-53``), channel LN."""
+    channels: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param('weight', nn.initializers.ones, (self.channels,),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        return layer_norm_2d(x, weight, bias, self.eps)
+
+
+class CALayer(nn.Module):
+    """SE-style channel attention (``gshift_deblur1.py:54-70``).
+
+    ``reduction`` may be overridden to 1 by the small-deblur variant
+    (``gshift_deblur2.py:60``).
+    """
+    channels: int
+    reduction: int = 16
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # Global average pool in fp32 for stable statistics.
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        y = y.astype(x.dtype)
+        y = Conv2d(self.channels // self.reduction, 1, use_bias=self.use_bias,
+                   dtype=self.dtype, name='conv_du__0')(y)
+        y = nn.relu(y)
+        y = Conv2d(self.channels, 1, use_bias=self.use_bias, dtype=self.dtype,
+                   name='conv_du__2')(y)
+        y = nn.sigmoid(y)
+        return x * y
+
+
+def simple_gate(x):
+    """``SimpleGate`` (``gshift_deblur1.py:175-178``): x1 * x2."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2
+
+
+def simple_gate2(x):
+    """``SimpleGate2`` (``gshift_deblur1.py:179-182``): x1 * sigmoid(x2)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * nn.sigmoid(x2)
+
+
+class RepConv(nn.Module):
+    """``RepConv`` (``gshift_deblur1.py:157-165``): kxk + 3x3 grouped convs +
+    identity.  Small variants use fully-depthwise grouping
+    (``gshift_deblur2.py:162-163``)."""
+    channels: int
+    kernel_size: int
+    use_bias: bool = False
+    depthwise: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        groups = self.channels if self.depthwise else self.channels // 8
+        r1 = Conv2d(self.channels, self.kernel_size, use_bias=self.use_bias,
+                    groups=groups, dtype=self.dtype, name='conv_1')(x)
+        r2 = Conv2d(self.channels, 3, use_bias=self.use_bias, groups=groups,
+                    dtype=self.dtype, name='conv_2')(x)
+        return r1 + r2 + x
+
+
+class RepConv2(nn.Module):
+    """``RepConv2`` (``gshift_deblur1.py:166-174``): depthwise 3x3 + identity."""
+    channels: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r2 = Conv2d(self.channels, 3, use_bias=self.use_bias,
+                    groups=self.channels, dtype=self.dtype, name='conv_2')(x)
+        return r2 + x
+
+
+class CAB(nn.Module):
+    """Plain channel-attention block (``gshift_deblur1.py:141-156``):
+    conv-PReLU-conv + CA, residual."""
+    n_feat: int
+    kernel_size: int
+    reduction: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                     dtype=self.dtype, name='body__0')(x)
+        res = PReLU(dtype=self.dtype, name='body__1')(res)
+        res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                     dtype=self.dtype, name='body__2')(res)
+        res = CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
+                      dtype=self.dtype, name='CA')(res)
+        return res + x
+
+
+class ShiftCAB(nn.Module):
+    """``Shift_CAB`` (``gshift_denoise1.py:157-186``): temporal half-channel
+    shift (with boundary patch) followed by a plain CAB body, residual to the
+    *shifted* input."""
+    n_feat: int
+    kernel_size: int
+    reduction: int
+    use_bias: bool = False
+    reverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True)
+        res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                     dtype=self.dtype, name='body__0')(x)
+        res = PReLU(dtype=self.dtype, name='body__1')(res)
+        res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                     dtype=self.dtype, name='body__2')(res)
+        res = CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
+                      dtype=self.dtype, name='CA')(res)
+        return res + x
+
+
+def naf_body(x, *, n_feat: int, kernel_size: int, reduction: int,
+             use_bias: bool = False, mid_ca: bool = False,
+             last_bias: bool = False, repconv_depthwise: bool = False,
+             dtype: Dtype = jnp.float32):
+    """Shared NAFNet-style gated body of CAB1/CAB2
+    (``gshift_deblur1.py:183-255``), called inside the owner's compact scope
+    so submodules land at ``body.<torch Sequential index>``.
+
+    Sequence (deblur): 1x1 expand x2 -> RepConv2 (dw 3x3) -> SimpleGate ->
+    RepConv -> 1x1 expand x2 -> SimpleGate2 -> CALayer2 -> 1x1 project.
+    Denoise variants insert an extra CALayer2 after SimpleGate and use a
+    biased final projection (``gshift_denoise1.py:224-229``).
+    """
+    n = n_feat
+    i = 0
+    x = Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype,
+               name=f'body__{i}')(x); i += 1
+    x = RepConv2(2 * n, use_bias=use_bias, dtype=dtype,
+                 name=f'body__{i}')(x); i += 1
+    x = simple_gate(x); i += 1
+    if mid_ca:
+        x = CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
+                    name=f'body__{i}')(x); i += 1
+    x = RepConv(n, kernel_size, use_bias=use_bias,
+                depthwise=repconv_depthwise, dtype=dtype,
+                name=f'body__{i}')(x); i += 1
+    x = Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype,
+               name=f'body__{i}')(x); i += 1
+    x = simple_gate2(x); i += 1
+    x = CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
+                name=f'body__{i}')(x); i += 1
+    x = Conv2d(n, 1, use_bias=last_bias, dtype=dtype,
+               name=f'body__{i}')(x)
+    return x
+
+
+class CAB1(nn.Module):
+    """``CAB1`` (``gshift_deblur1.py:183-211``): LN -> gated body, residual
+    scaled by learned beta."""
+    n_feat: int
+    kernel_size: int
+    reduction: int
+    use_bias: bool = False
+    mid_ca: bool = False
+    last_bias: bool = False
+    repconv_depthwise: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        beta = self.param('beta', nn.initializers.zeros,
+                          (1, 1, 1, self.n_feat), jnp.float32)
+        y = LayerNorm2d(self.n_feat, name='norm')(x)
+        y = naf_body(y, n_feat=self.n_feat, kernel_size=self.kernel_size,
+                     reduction=self.reduction, use_bias=self.use_bias,
+                     mid_ca=self.mid_ca, last_bias=self.last_bias,
+                     repconv_depthwise=self.repconv_depthwise,
+                     dtype=self.dtype)
+        return x + y * beta.astype(x.dtype)
+
+
+class CAB2(nn.Module):
+    """``CAB2`` (``gshift_deblur1.py:212-255``): consumes the GSTS-augmented
+    ``(n_feat + add_channel)`` tensor.  The extra (spatially shifted) channels
+    go through a depthwise 3x3 (``conv1``), then LN over the concatenation and
+    the gated body; residual only to the first ``n_feat`` channels."""
+    n_feat: int
+    add_channel: int
+    kernel_size: int
+    reduction: int
+    use_bias: bool = False
+    mid_ca: bool = False
+    last_bias: bool = False
+    repconv_depthwise: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_input):
+        n = self.n_feat
+        beta = self.param('beta', nn.initializers.zeros, (1, 1, 1, n),
+                          jnp.float32)
+        shortcut, hw = x_input[..., :n], x_input[..., n:]
+        hw = Conv2d(self.add_channel, 3, use_bias=self.use_bias,
+                    groups=self.add_channel, dtype=self.dtype, name='conv1')(hw)
+        y = jnp.concatenate([shortcut, hw], axis=-1)
+        y = LayerNorm2d(n + self.add_channel, name='norm')(y)
+        y = naf_body(y, n_feat=n, kernel_size=self.kernel_size,
+                     reduction=self.reduction, use_bias=self.use_bias,
+                     mid_ca=self.mid_ca, last_bias=self.last_bias,
+                     repconv_depthwise=self.repconv_depthwise,
+                     dtype=self.dtype)
+        return shortcut + y * beta.astype(x_input.dtype)
+
+
+class DownSample(nn.Module):
+    """Stride-2 3x3 downsample (``gshift_deblur1.py:330-340``).  Denoise
+    variants use bias=False + PReLU (``gshift_denoise1.py:361-362``)."""
+    out_channels: int
+    with_prelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_prelu:
+            x = Conv2d(self.out_channels, 3, stride=2, use_bias=False,
+                       dtype=self.dtype, name='down__0')(x)
+            x = PReLU(dtype=self.dtype, name='down__1')(x)
+        else:
+            x = Conv2d(self.out_channels, 3, stride=2, use_bias=True,
+                       dtype=self.dtype, name='down')(x)
+        return x
+
+
+class SkipUpSample(nn.Module):
+    """Bilinear 2x + 1x1 conv + skip add (``gshift_deblur1.py:341-351``)."""
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = bilinear_up2x(x)
+        x = Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
+                   name='up__1')(x)
+        return x + skip
+
+
+class PixelShufflePack(nn.Module):
+    """Conv to C*r^2 then depth-to-space (``gshift_deblur1.py:256-278``)."""
+    out_channels: int
+    scale: int = 2
+    upsample_kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(self.out_channels * self.scale ** 2, self.upsample_kernel,
+                   use_bias=True, dtype=self.dtype, name='upsample_conv')(x)
+        return pixel_shuffle(x, self.scale)
+
+
+class TFRUNet(nn.Module):
+    """``TFR_UNet`` (``gshift_deblur1.py:681-722``): tiny per-frame 3-level
+    U-Net of plain CABs; purely spatial (no temporal mixing)."""
+    n_feat0: int
+    kernel_size: int = 3
+    reduction: int = 4
+    scale_unetfeats: int = 12
+    use_bias: bool = False
+    downsample_prelu: bool = False  # denoise DownSample variant
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c0 = self.n_feat0
+        c1 = c0 + self.scale_unetfeats
+        c2 = c0 + 2 * self.scale_unetfeats
+        kw = dict(kernel_size=self.kernel_size, reduction=self.reduction,
+                  use_bias=self.use_bias, dtype=self.dtype)
+
+        enc1 = CAB(c0, name='encoder_level1__0', **kw)(x)
+        y = DownSample(c1, with_prelu=self.downsample_prelu,
+                       dtype=self.dtype, name='down12')(enc1)
+        for i in range(3):
+            y = CAB(c1, name=f'encoder_level2__{i}', **kw)(y)
+        enc2 = y
+        y = DownSample(c2, with_prelu=self.downsample_prelu,
+                       dtype=self.dtype, name='down23')(enc2)
+        for i in range(3):
+            y = CAB(c2, name=f'encoder_level3__{i}', **kw)(y)
+        enc3 = y
+
+        dec3 = enc3
+        for i in range(3):
+            dec3 = CAB(c2, name=f'decoder_level3__{i}', **kw)(dec3)
+        skip2 = CAB(c1, name='skip_attn2', **kw)(enc2)
+        y = SkipUpSample(c1, dtype=self.dtype, name='up32')(dec3, skip2)
+        for i in range(3):
+            y = CAB(c1, name=f'decoder_level2__{i}', **kw)(y)
+        skip1 = CAB(c0, name='skip_attn1', **kw)(enc1)
+        y = SkipUpSample(c0, dtype=self.dtype, name='up21')(y, skip1)
+        y = CAB(c0, name='decoder_level1__0', **kw)(y)
+        return y
+
+
+class EncoderShiftBlock(nn.Module):
+    """``Encoder_shift_block`` (``gshift_deblur1.py:440-547``): ``rounds``
+    iterations of [GSTS(fwd|rev) -> CAB2 -> CAB1], alternating shift
+    direction each round starting with forward."""
+    n_feat: int
+    rounds: int = 8
+    reduction: int = 4
+    use_bias: bool = False
+    boundary_patch: bool = True
+    mid_ca: bool = False
+    last_bias: bool = False
+    repconv_depthwise: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        number = self.n_feat // 2 // 8
+        add_c = 8 * number
+        kw = dict(kernel_size=5, reduction=self.reduction,
+                  use_bias=self.use_bias, mid_ca=self.mid_ca,
+                  last_bias=self.last_bias,
+                  repconv_depthwise=self.repconv_depthwise, dtype=self.dtype)
+        for r in range(self.rounds):
+            suffix = '' if r == 0 else f'_{r}'
+            x = gsts(x, number, reverse=(r % 2 == 1),
+                     boundary_patch=self.boundary_patch)
+            x = CAB2(self.n_feat, add_c, name=f'encoder_level1{suffix}__0',
+                     **kw)(x)
+            x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1', **kw)(x)
+        return x

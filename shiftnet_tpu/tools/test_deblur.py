@@ -1,0 +1,43 @@
+"""Deblur evaluation CLI — replaces ``inference/test_deblur{,_small}.py``.
+
+Usage:
+  python -m shiftnet_tpu.tools.test_deblur --variant deblur_plus \
+      --model_path ckpt.npz --data_path DeepVideoDeblurring_Dataset/GoPro \
+      --one_len 48 [--fp32] [--save_image]
+
+``--model_path`` accepts our ``.npz`` exports or reference ``.pth`` files
+(converted on the fly).
+"""
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from shiftnet_tpu.eval.runner import Evaluator
+from shiftnet_tpu.models import build_model
+from shiftnet_tpu.tools.params_io import load_params
+
+
+def main():
+    from shiftnet_tpu.utils.jaxenv import setup_jax
+    setup_jax()
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--variant', default='deblur_plus',
+                    choices=['deblur_plus', 'deblur_small'])
+    ap.add_argument('--model_path', required=True)
+    ap.add_argument('--data_path', required=True)
+    ap.add_argument('--result_path', default='infer_results')
+    ap.add_argument('--one_len', type=int, default=48)
+    ap.add_argument('--fp32', action='store_true')
+    ap.add_argument('--save_image', action='store_true')
+    args = ap.parse_args()
+
+    params = load_params(args.variant, args.model_path, halo=2)
+    ev = Evaluator(args.variant, params, result_path=args.result_path,
+                   bf16=not args.fp32, save_images=args.save_image)
+    res = ev.eval_deblur(args.data_path, one_len=args.one_len)
+    print(res)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,36 @@
+"""Denoise evaluation CLI — replaces ``inference/test_denoise{,_small}.py``.
+
+Usage:
+  python -m shiftnet_tpu.tools.test_denoise --variant denoise_plus \
+      --model_path ckpt.npz --data_path Set8 --sigma 10 [--fp32] [--no_tile]
+"""
+import argparse
+
+from shiftnet_tpu.eval.runner import Evaluator
+from shiftnet_tpu.tools.params_io import load_params
+
+
+def main():
+    from shiftnet_tpu.utils.jaxenv import setup_jax
+    setup_jax()
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--variant', default='denoise_plus',
+                    choices=['denoise_plus', 'denoise_small'])
+    ap.add_argument('--model_path', required=True)
+    ap.add_argument('--data_path', required=True)
+    ap.add_argument('--result_path', default='infer_results')
+    ap.add_argument('--sigma', type=float, default=10.0)
+    ap.add_argument('--fp32', action='store_true')
+    ap.add_argument('--no_tile', action='store_true')
+    ap.add_argument('--save_image', action='store_true')
+    args = ap.parse_args()
+
+    params = load_params(args.variant, args.model_path, halo=2)
+    ev = Evaluator(args.variant, params, result_path=args.result_path,
+                   bf16=not args.fp32, save_images=args.save_image)
+    res = ev.eval_denoise(args.data_path, args.sigma, tile=not args.no_tile)
+    print(res)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,151 @@
+"""The training orchestrator.
+
+Replaces ``basicsr/train1.py`` / ``train2.py`` + the four trainer wrappers
+(``image_restoration{,1,2,3}_model.py``) with one config-driven loop:
+model + optimizer + sharded step + loader + checkpoints + logging +
+auto-resume + periodic visual dumps.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shiftnet_tpu.data.loader import PrefetchLoader
+from shiftnet_tpu.data.video_dataset import ShardedEpochSampler, VideoFolderDataset
+from shiftnet_tpu.models import CONFIGS, build_model, init_params
+from shiftnet_tpu.parallel.mesh import (batch_sharding, init_distributed,
+                                        is_primary, make_mesh, replicated)
+from shiftnet_tpu.train.checkpoint import CheckpointManager, save_params_npz
+from shiftnet_tpu.train.optim import OptimConfig, build_optimizer
+from shiftnet_tpu.train.step import (TaskConfig, TrainState, make_train_step,
+                                     shard_train_step)
+from shiftnet_tpu.utils.config import make_exp_dirs
+from shiftnet_tpu.utils.logging import TrainLogger, get_logger
+
+
+class Trainer:
+    def __init__(self, opt: dict[str, Any]):
+        self.opt = opt
+        init_distributed()
+        make_exp_dirs(opt)
+        self.logger = get_logger(
+            'shiftnet', os.path.join(opt['path']['log'], 'train.log'),
+            is_primary())
+
+        variant = opt['model']
+        compute_dtype = jnp.bfloat16 if opt.get('bf16', True) else jnp.float32
+        mcfg = CONFIGS[variant]
+        task_kind = 'denoise' if mcfg.noise_map else 'deblur'
+        # Training predicts all-but-(fb,ff) frames: deblur 1/1, denoise 0/0
+        # (constructor defaults — gshift_deblur1.py:728, gshift_denoise1.py:758).
+        self.model = build_model(variant, dtype=compute_dtype)
+        self.task = TaskConfig(
+            kind=task_kind,
+            loss_spec=opt.get('loss_type', '1*L1'),
+            center_slice=(mcfg.past_frames, mcfg.future_frames))
+
+        train_opt = opt['train']
+        self.total_iters = int(train_opt['total_iter'])
+        ocfg = OptimConfig(
+            lr=float(train_opt['optim_g']['lr']),
+            betas=tuple(train_opt['optim_g'].get('betas', (0.9, 0.99))),
+            weight_decay=float(train_opt['optim_g'].get('weight_decay', 0.0)),
+            total_iters=int(train_opt['scheduler'].get('T_max',
+                                                       self.total_iters)),
+            eta_min=float(train_opt['scheduler'].get('eta_min', 1e-7)),
+            grad_clip=train_opt.get('grad_clip', 0.01),
+            lr_group_scales=train_opt.get('lr_group_scales', {}) or {},
+        )
+        self.optim_cfg = ocfg
+
+        # Mesh / sharding: pure data parallel by default.
+        self.mesh = make_mesh(time=1)
+        n_dp = self.mesh.shape['data']
+        self.batch_size = opt.get('batch_size_per_device', 1) * n_dp
+        self.logger.info(
+            f'mesh: {dict(self.mesh.shape)}; global batch {self.batch_size}')
+
+        # Data.
+        ds_opt = opt['datasets']['train']
+        self.dataset = VideoFolderDataset(
+            ds_opt['dir_data'], n_seq=int(opt['n_sequence']),
+            gt_dir=ds_opt.get('gt_dir', 'gt'),
+            lq_dir=ds_opt.get('lq_dir', 'blur') if task_kind == 'deblur' else None,
+            patch_size=int(opt.get('patch_size', 256)),
+            size_must_mode=int(opt.get('size_must_mode', 4)),
+            augment=not opt.get('no_augment', False),
+            n_frames_per_video=opt.get('n_frames_per_video'))
+        sampler = ShardedEpochSampler(
+            len(self.dataset), num_shards=jax.process_count(),
+            shard=jax.process_index(), seed=int(opt.get('manual_seed', 0)))
+        self.loader = PrefetchLoader(
+            self.dataset, sampler, batch_size=self.batch_size,
+            num_threads=int(ds_opt.get('num_worker_per_gpu', 2)),
+            seed=int(opt.get('manual_seed', 0)))
+        self.steps_per_epoch = max(len(self.dataset) // self.batch_size, 1)
+
+        # Init / resume.
+        self.ckpt = CheckpointManager(opt['path']['training_states'],
+                                      max_to_keep=3)
+        t, p = int(opt['n_sequence']), int(opt.get('patch_size', 256))
+        p -= p % int(opt.get('size_must_mode', 4))
+        x0 = jnp.zeros((t, p, p, 3), compute_dtype)
+        nm0 = jnp.zeros((t, p, p, 1), compute_dtype) if mcfg.noise_map else None
+        params = init_params(self.model, x0, nm0,
+                             seed=int(opt.get('manual_seed', 0)))
+        self.tx = build_optimizer(ocfg, params)
+        state = TrainState.create(params, self.tx)
+        restored = self.ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            self.logger.info(f'auto-resumed from step {int(state.step)}')
+        self.state = jax.device_put(state, replicated(self.mesh))
+
+        step_fn = make_train_step(self.model, self.tx, self.task)
+        self.train_step = shard_train_step(step_fn, self.mesh)
+        self.rng = jax.random.PRNGKey(
+            int(opt.get('manual_seed', 0)) + jax.process_index() + 1)
+
+    def current_lr(self, step: int) -> float:
+        from shiftnet_tpu.train.optim import cosine_lr
+        return float(cosine_lr(self.optim_cfg)(step))
+
+    def run(self):
+        opt = self.opt
+        log_cfg = opt.get('logger', {})
+        print_freq = int(log_cfg.get('print_freq', 500))
+        save_freq = int(log_cfg.get('save_checkpoint_freq', 10_000))
+        start_iter = int(self.state.step)
+        tlog = TrainLogger(self.logger, self.total_iters, start_iter,
+                           tb_dir=os.path.join(opt['path']['log'], 'tb')
+                           if log_cfg.get('use_tb_logger') else None)
+        it = start_iter
+        data_sharding = batch_sharding(self.mesh)
+        for batch in self.loader:
+            if it >= self.total_iters:
+                break
+            batch = {k: jax.device_put(v, data_sharding)
+                     for k, v in batch.items()}
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(self.state, batch, step_rng)
+            it += 1
+            if it % print_freq == 0 and is_primary():
+                m = jax.device_get(metrics)
+                tlog(it, it // self.steps_per_epoch, self.current_lr(it), m)
+            if it % save_freq == 0 and is_primary():
+                self.save(it)
+        self.loader.stop()
+        if is_primary():
+            self.save(it)
+            self.logger.info('training complete')
+
+    def save(self, it: int):
+        self.ckpt.save(it, jax.device_get(self.state))
+        npz = os.path.join(self.opt['path']['models'], f'net_g_{it}.npz')
+        save_params_npz(npz, self.state.params)
+        self.logger.info(f'saved checkpoint @ {it} -> {npz}')
