@@ -1,12 +1,14 @@
-"""Benchmark: deblur_plus forward throughput at 1280x720 on one chip.
+"""Benchmark: deblur_plus 720p throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md north star): 30 fps/chip for 720p video deblurring.
 
-Protocol: windowed inference exactly like the reference benchmark harness
-(``inference/test_deblur.py``: one_len frames + 2+2 halo per window, fp16
-there / bf16 here), steady-state timing over several iterations after
-compile+warmup, fps = predicted frames per second.
+Protocol: windowed inference like the reference benchmark harness
+(``inference/test_deblur.py``: one_len frames + 2+2 halo per window) with the
+reference's 4-quadrant spatial tiling (``inference/test_denoise.py:153-173``)
+— required here because a full 720p x 16-frame window exceeds the 16 GB v5e
+HBM (the A100s the reference ran on have 40-80 GB).  bf16 compute.  fps =
+predicted output frames per wall-clock second, steady state.
 """
 import json
 import time
@@ -20,6 +22,7 @@ def main():
     from shiftnet_tpu.utils.jaxenv import setup_jax
     setup_jax()
     from shiftnet_tpu.models import build_model, init_params
+    from shiftnet_tpu.eval.window import quadrant_slices
 
     one_len = 12          # frames predicted per window
     halo = 2
@@ -29,22 +32,29 @@ def main():
     model = build_model('deblur_plus', dtype=jnp.bfloat16,
                         past_frames=halo, future_frames=halo)
     rng = jax.random.PRNGKey(0)
-    x = jax.random.uniform(rng, (t, h, w, 3), jnp.bfloat16)
-    params = init_params(model, x[: 2 * halo + 1], seed=1)
+    video = jax.random.uniform(rng, (t, h, w, 3), jnp.bfloat16)
+    params = init_params(model, video[: 2 * halo + 1], seed=1)
 
     @jax.jit
     def forward(params, x):
         return model.apply({'params': params}, x)
 
-    # Compile + warmup.
-    out = forward(params, x)
-    out.block_until_ready()
+    tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
+             for in_sl, _, _ in quadrant_slices(h, w)]
+
+    # Compile + warmup (all tiles share one shape -> one executable).
+    for tile in tiles:
+        forward(params, tile).block_until_ready()
 
     iters = 5
     t0 = time.perf_counter()
+    outs = []
     for _ in range(iters):
-        out = forward(params, x)
-    out.block_until_ready()
+        for tile in tiles:
+            outs.append(forward(params, tile))
+    # NB: block on EVERY output: blocking only on the last one under-reports
+    # by ~1000x on this backend (async dispatch illusion).
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     fps = one_len * iters / dt

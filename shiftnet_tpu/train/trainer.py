@@ -72,14 +72,25 @@ class Trainer:
 
         # Data.
         ds_opt = opt['datasets']['train']
-        self.dataset = VideoFolderDataset(
-            ds_opt['dir_data'], n_seq=int(opt['n_sequence']),
-            gt_dir=ds_opt.get('gt_dir', 'gt'),
-            lq_dir=ds_opt.get('lq_dir', 'blur') if task_kind == 'deblur' else None,
-            patch_size=int(opt.get('patch_size', 256)),
-            size_must_mode=int(opt.get('size_must_mode', 4)),
-            augment=not opt.get('no_augment', False),
-            n_frames_per_video=opt.get('n_frames_per_video'))
+        if ds_opt.get('packed_gt'):
+            from shiftnet_tpu.data.packed import PackedVideoDataset
+            self.dataset = PackedVideoDataset(
+                ds_opt['packed_gt'],
+                ds_opt.get('packed_lq') if task_kind == 'deblur' else None,
+                n_seq=int(opt['n_sequence']),
+                patch_size=int(opt.get('patch_size', 256)),
+                size_must_mode=int(opt.get('size_must_mode', 4)),
+                augment=not opt.get('no_augment', False))
+        else:
+            self.dataset = VideoFolderDataset(
+                ds_opt['dir_data'], n_seq=int(opt['n_sequence']),
+                gt_dir=ds_opt.get('gt_dir', 'gt'),
+                lq_dir=(ds_opt.get('lq_dir', 'blur')
+                        if task_kind == 'deblur' else None),
+                patch_size=int(opt.get('patch_size', 256)),
+                size_must_mode=int(opt.get('size_must_mode', 4)),
+                augment=not opt.get('no_augment', False),
+                n_frames_per_video=opt.get('n_frames_per_video'))
         sampler = ShardedEpochSampler(
             len(self.dataset), num_shards=jax.process_count(),
             shard=jax.process_index(), seed=int(opt.get('manual_seed', 0)))
@@ -110,6 +121,7 @@ class Trainer:
         self.train_step = shard_train_step(step_fn, self.mesh)
         self.rng = jax.random.PRNGKey(
             int(opt.get('manual_seed', 0)) + jax.process_index() + 1)
+        self._vis_fwd = None
 
     def current_lr(self, step: int) -> float:
         from shiftnet_tpu.train.optim import cosine_lr
@@ -124,25 +136,83 @@ class Trainer:
         tlog = TrainLogger(self.logger, self.total_iters, start_iter,
                            tb_dir=os.path.join(opt['path']['log'], 'tb')
                            if log_cfg.get('use_tb_logger') else None)
+        visual_freq = int(log_cfg.get('visual_freq', 0))  # ref: 2000
+        val_cfg = self.opt.get('val') or {}
+        val_freq = int(float(val_cfg.get('val_freq', 0)))
         it = start_iter
         data_sharding = batch_sharding(self.mesh)
         for batch in self.loader:
             if it >= self.total_iters:
                 break
-            batch = {k: jax.device_put(v, data_sharding)
-                     for k, v in batch.items()}
+            dev_batch = {k: jax.device_put(v, data_sharding)
+                         for k, v in batch.items()}
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(self.state, batch, step_rng)
+            self.state, metrics = self.train_step(self.state, dev_batch,
+                                                  step_rng)
             it += 1
             if it % print_freq == 0 and is_primary():
                 m = jax.device_get(metrics)
                 tlog(it, it // self.steps_per_epoch, self.current_lr(it), m)
+            if visual_freq and it % visual_freq == 0 and is_primary():
+                self.dump_visuals(it, batch)
             if it % save_freq == 0 and is_primary():
                 self.save(it)
+            if val_freq and it % val_freq == 0 and is_primary():
+                self.validate(it, val_cfg)
         self.loader.stop()
         if is_primary():
             self.save(it)
             self.logger.info('training complete')
+
+    def validate(self, it: int, val_cfg: dict):
+        """Windowed-eval validation on a held-out video folder (optional;
+        the reference ships with this loop disabled — train1.py:253-260)."""
+        from shiftnet_tpu.eval.runner import Evaluator
+        ev = Evaluator(self.opt['model'], self.state.params,
+                       result_path=os.path.join(
+                           self.opt['path']['log'], f'val_{it}'),
+                       bf16=self.opt.get('bf16', True))
+        if self.task.kind == 'denoise':
+            res = ev.eval_denoise(val_cfg['dir_data'],
+                                  float(val_cfg.get('sigma', 10.0)))
+        else:
+            res = ev.eval_deblur(val_cfg['dir_data'],
+                                 one_len=int(val_cfg.get('one_len', 16)))
+        self.logger.info(
+            f"[val @ {it}] PSNR {res['psnr']:.4f} SSIM {res['ssim']:.5f}")
+
+    def dump_visuals(self, it: int, batch):
+        """Save an (input, gt, output) PNG triplet for the first clip's
+        center frame (reference ``train1.py:261-274``)."""
+        import imageio.v2 as imageio
+        gt = batch['gt'][0]
+        lq = batch.get('lq', batch['gt'])[0]
+        fb, ff = self.task.center_slice
+        if self._vis_fwd is None:
+            if self.task.kind == 'denoise':
+                self._vis_fwd = jax.jit(lambda p, x, nm: self.model.apply(
+                    {'params': p}, x, nm))
+            else:
+                self._vis_fwd = jax.jit(lambda p, x: self.model.apply(
+                    {'params': p}, x))
+        x = jnp.asarray(lq, self.model.dtype)
+        if self.task.kind == 'denoise':
+            nm = jnp.full(x.shape[:3] + (1,), 25.0 / 255.0, x.dtype)
+            out = self._vis_fwd(self.state.params, x, nm)
+        else:
+            out = self._vis_fwd(self.state.params, x)
+        out = np.asarray(out.astype(jnp.float32))
+        mid = out.shape[0] // 2
+        d = self.opt['path']['visualization']
+        os.makedirs(d, exist_ok=True)
+
+        def dump(name, img):
+            imageio.imwrite(os.path.join(d, f'{it:08d}_{name}.png'),
+                            (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+        dump('input', lq[fb + mid])
+        dump('gt', gt[fb + mid])
+        dump('output', out[mid])
 
     def save(self, it: int):
         self.ckpt.save(it, jax.device_get(self.state))

@@ -169,5 +169,65 @@ def main():
     print('op fixtures written')
 
 
+
+
+
+def gen_metric_fixtures():
+    """Goldens for color conversion + basicsr metrics, via the reference
+    matlab_functions/psnr_ssim loaded standalone (stubbing package imports)."""
+    import importlib.util
+    import sys as _sys
+    import types as _types
+
+    def load_file(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        _sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    mf = load_file('ref_matlab', f'{REF}/basicsr/utils/matlab_functions.py')
+    # metric_util imports bgr2ycbcr from basicsr.utils.matlab_functions;
+    # stub that package path to avoid the torchvision-laden __init__.
+    pkg = _types.ModuleType('basicsr'); _sys.modules['basicsr'] = pkg
+    upkg = _types.ModuleType('basicsr.utils'); _sys.modules['basicsr.utils'] = upkg
+    _sys.modules['basicsr.utils.matlab_functions'] = mf
+    mu = load_file('ref_metric_util', f'{REF}/basicsr/metrics/metric_util.py')
+    mpkg = _types.ModuleType('basicsr.metrics'); _sys.modules['basicsr.metrics'] = mpkg
+    _sys.modules['basicsr.metrics.metric_util'] = mu
+    # skimage isn't installed; psnr_ssim imports it at module level but the
+    # functions we exercise don't use it.
+    sk = _types.ModuleType('skimage'); skm = _types.ModuleType('skimage.metrics')
+    sk.metrics = skm
+    _sys.modules.setdefault('skimage', sk)
+    _sys.modules.setdefault('skimage.metrics', skm)
+    ps = load_file('ref_psnr_ssim', f'{REF}/basicsr/metrics/psnr_ssim.py')
+    # run the reference's CUDA-only 3D-SSIM path on CPU
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 255, (48, 56, 3)).astype(np.float32)
+    img2 = np.clip(img + rng.normal(0, 10, img.shape), 0, 255).astype(np.float32)
+    out = dict(
+        img=img, img2=img2,
+        rgb2y=mf.rgb2ycbcr(img / 255.0, y_only=True),
+        rgb2ycbcr=mf.rgb2ycbcr(img / 255.0),
+        bgr2y=mf.bgr2ycbcr(img / 255.0, y_only=True),
+        psnr_cb4=ps.calculate_psnr(img, img2, crop_border=4),
+        psnr_y=ps.calculate_psnr(img, img2, crop_border=0, test_y_channel=True),
+        ssim_cb0=ps.calculate_ssim(img, img2, crop_border=0),
+        ssim_y=ps.calculate_ssim(img, img2, crop_border=4, test_y_channel=True),
+    )
+    np.savez_compressed(f'{FIXDIR}/metrics_basicsr.npz', **out)
+    print('metric fixtures written')
+
+
 if __name__ == '__main__':
-    main()
+    import sys as _s
+    if '--metrics-only' in _s.argv:
+        gen_metric_fixtures()
+    else:
+        main()
+        gen_metric_fixtures()
