@@ -42,19 +42,21 @@ def main():
     tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
              for in_sl, _, _ in quadrant_slices(h, w)]
 
-    # Compile + warmup (all tiles share one shape -> one executable).
+    # Compile + warmup; then DRAIN via a data fetch: on this backend
+    # block_until_ready can return before execution finishes, so only an
+    # actual device->host transfer is a reliable fence.
     for tile in tiles:
-        forward(params, tile).block_until_ready()
+        out = forward(params, tile)
+    float(jnp.sum(out.astype(jnp.float32)))
 
     iters = 5
     t0 = time.perf_counter()
-    outs = []
     for _ in range(iters):
         for tile in tiles:
-            outs.append(forward(params, tile))
-    # NB: block on EVERY output: blocking only on the last one under-reports
-    # by ~1000x on this backend (async dispatch illusion).
-    jax.block_until_ready(outs)
+            out = forward(params, tile)
+    # Device executes in order; fetching the last output implies all prior
+    # windows completed.
+    float(jnp.sum(out.astype(jnp.float32)))
     dt = time.perf_counter() - t0
 
     fps = one_len * iters / dt

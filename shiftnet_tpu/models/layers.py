@@ -64,6 +64,18 @@ class Conv2d(nn.Module):
         pad = k // 2 if self.padding is None else self.padding
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * k * k
+        # Grouped convs with 1 < G < C (RepConv's groups=C/8) are pathological
+        # on TPU: XLA picks batch-on-lanes layouts (observed 8x padded relayout
+        # buffers) and runs far below the MXU dense rate.  On the MXU a
+        # block-diagonal *dense* kernel has the same systolic cost as its
+        # enclosing dense shape, and XLA maps dense convs well — so lower
+        # grouped to dense with a scattered block-diagonal kernel.  Parameters
+        # keep the grouped (kh, kw, Cin/G, Cout) shape (converter-compatible).
+        if 1 < self.groups < self.features:
+            return _DenseGroupedConv(
+                features=self.features, kernel_size=k, stride=self.stride,
+                pad=pad, groups=self.groups, use_bias=self.use_bias,
+                dtype=self.dtype, name='conv')(x)
         y = nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -77,6 +89,48 @@ class Conv2d(nn.Module):
             bias_init=_torch_conv_bias_init_factory(fan_in),
             name='conv',
         )(x)
+        return y
+
+
+class _DenseGroupedConv(nn.Module):
+    """Grouped conv executed as a dense conv with a block-diagonal kernel.
+
+    Parameters keep the grouped (kh, kw, Cin/G, Cout) shape so checkpoints and
+    the torch converter are unaffected; the dense scatter happens at apply
+    time and folds into XLA constants/fusions.
+    """
+    features: int
+    kernel_size: int
+    stride: int
+    pad: int
+    groups: int
+    use_bias: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        cing = in_ch // self.groups
+        per_out = self.features // self.groups
+        kernel = self.param('kernel', _torch_conv_kernel_init,
+                            (k, k, cing, self.features), jnp.float32)
+        dense = jnp.zeros((k, k, in_ch, self.features), self.dtype)
+        for g in range(self.groups):
+            dense = dense.at[
+                :, :, g * cing:(g + 1) * cing,
+                g * per_out:(g + 1) * per_out].set(
+                kernel[..., g * per_out:(g + 1) * per_out].astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense,
+            window_strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            bias = self.param(
+                'bias', _torch_conv_bias_init_factory(cing * k * k),
+                (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
         return y
 
 
