@@ -311,6 +311,54 @@ def naf_body(x, *, n_feat: int, kernel_size: int, reduction: int,
     return x
 
 
+def _declare_naf_params(mod, cin_ln: int, n: int, kernel_size: int,
+                        reduction: int, use_bias: bool, last_bias: bool,
+                        repconv_depthwise: bool, dtype, add_channel: int = 0):
+    """Create the CAB1/CAB2 parameter tree through the regular child modules
+    (1-pixel dummy calls — negligible compute, DCE'd), then collect the raw
+    values for the fused Pallas kernel.  Guarantees the fused and layer-by-
+    layer paths share one parameter layout (and the torch converter)."""
+    z = lambda c: jnp.zeros((1, 1, 1, c), dtype)
+    if add_channel:
+        Conv2d(add_channel, 3, use_bias=use_bias, groups=add_channel,
+               dtype=dtype, name='conv1')(z(add_channel))
+    LayerNorm2d(cin_ln, name='norm')(z(cin_ln))
+    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype, name='body__0')(z(cin_ln))
+    RepConv2(2 * n, use_bias=use_bias, dtype=dtype, name='body__1')(z(2 * n))
+    RepConv(n, kernel_size, use_bias=use_bias, depthwise=repconv_depthwise,
+            dtype=dtype, name='body__3')(z(n))
+    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype, name='body__4')(z(n))
+    CALayer(n, reduction, use_bias=use_bias, dtype=dtype, name='body__6')(z(n))
+    Conv2d(n, 1, use_bias=last_bias, dtype=dtype, name='body__7')(z(n))
+
+    v = mod.variables['params']
+    k = lambda *path: jnp.asarray(_tree_get(v, path))
+    params = {
+        'ln_w': k('norm', 'weight'),
+        'ln_b': k('norm', 'bias'),
+        'w0': k('body__0', 'conv', 'kernel').reshape(cin_ln, 2 * n),
+        'dw0': k('body__1', 'conv_2', 'conv', 'kernel')[:, :, 0, :],
+        'rep5': k('body__3', 'conv_1', 'conv', 'kernel'),
+        'rep3': k('body__3', 'conv_2', 'conv', 'kernel'),
+        'w4': k('body__4', 'conv', 'kernel').reshape(n, 2 * n),
+        'du1': k('body__6', 'conv_du__0', 'conv', 'kernel').reshape(n, -1),
+        'du2': k('body__6', 'conv_du__2', 'conv', 'kernel').reshape(-1, n),
+        'w7': k('body__7', 'conv', 'kernel').reshape(n, n),
+        'beta': jnp.asarray(v['beta']).reshape(n),
+    }
+    if last_bias:
+        params['b7'] = k('body__7', 'conv', 'bias')
+    if add_channel:
+        params['dwc'] = k('conv1', 'conv', 'kernel')[:, :, 0, :]
+    return params
+
+
+def _tree_get(tree, path):
+    for comp in path:
+        tree = tree[comp]
+    return tree
+
+
 class CAB1(nn.Module):
     """``CAB1`` (``gshift_deblur1.py:183-211``): LN -> gated body, residual
     scaled by learned beta."""
@@ -321,12 +369,24 @@ class CAB1(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         beta = self.param('beta', nn.initializers.zeros,
                           (1, 1, 1, self.n_feat), jnp.float32)
+        if self.fused and not self.mid_ca and self.kernel_size == 5:
+            from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
+            if pick_tile_h(x.shape[1], x.shape[2], self.n_feat, 0) is not None:
+                groups = (self.n_feat if self.repconv_depthwise
+                          else self.n_feat // 8)
+                params = _declare_naf_params(
+                    self, self.n_feat, self.n_feat, self.kernel_size,
+                    self.reduction, self.use_bias, self.last_bias,
+                    self.repconv_depthwise, self.dtype)
+                return cab_fused(x, None, params, groups=groups,
+                                 use_last_bias=self.last_bias)
         y = LayerNorm2d(self.n_feat, name='norm')(x)
         y = naf_body(y, n_feat=self.n_feat, kernel_size=self.kernel_size,
                      reduction=self.reduction, use_bias=self.use_bias,
@@ -340,7 +400,10 @@ class CAB2(nn.Module):
     """``CAB2`` (``gshift_deblur1.py:212-255``): consumes the GSTS-augmented
     ``(n_feat + add_channel)`` tensor.  The extra (spatially shifted) channels
     go through a depthwise 3x3 (``conv1``), then LN over the concatenation and
-    the gated body; residual only to the first ``n_feat`` channels."""
+    the gated body; residual only to the first ``n_feat`` channels.
+
+    Accepts either the concatenated tensor or ``(y, hw)`` split (the fused
+    path never materializes the concat)."""
     n_feat: int
     add_channel: int
     kernel_size: int
@@ -349,11 +412,29 @@ class CAB2(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_input):
+    def __call__(self, x_input, hw_input=None):
         n = self.n_feat
+        if hw_input is not None and self.fused and not self.mid_ca \
+                and self.kernel_size == 5:
+            from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
+            if pick_tile_h(x_input.shape[1], x_input.shape[2], n,
+                           self.add_channel) is not None:
+                beta = self.param('beta', nn.initializers.zeros,
+                                  (1, 1, 1, n), jnp.float32)
+                groups = n if self.repconv_depthwise else n // 8
+                params = _declare_naf_params(
+                    self, n + self.add_channel, n, self.kernel_size,
+                    self.reduction, self.use_bias, self.last_bias,
+                    self.repconv_depthwise, self.dtype,
+                    add_channel=self.add_channel)
+                return cab_fused(x_input, hw_input, params, groups=groups,
+                                 use_last_bias=self.last_bias)
+        if hw_input is not None:
+            x_input = jnp.concatenate([x_input, hw_input], axis=-1)
         beta = self.param('beta', nn.initializers.zeros, (1, 1, 1, n),
                           jnp.float32)
         shortcut, hw = x_input[..., :n], x_input[..., n:]
@@ -471,21 +552,27 @@ class EncoderShiftBlock(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops.shift import grouped_spatial_shift
         number = self.n_feat // 2 // 8
         add_c = 8 * number
         kw = dict(kernel_size=5, reduction=self.reduction,
                   use_bias=self.use_bias, mid_ca=self.mid_ca,
                   last_bias=self.last_bias,
-                  repconv_depthwise=self.repconv_depthwise, dtype=self.dtype)
+                  repconv_depthwise=self.repconv_depthwise, fused=self.fused,
+                  dtype=self.dtype)
         for r in range(self.rounds):
             suffix = '' if r == 0 else f'_{r}'
-            x = gsts(x, number, reverse=(r % 2 == 1),
-                     boundary_patch=self.boundary_patch)
+            reverse = (r % 2 == 1)
+            y = temporal_channel_shift(x, reverse=reverse,
+                                       boundary_patch=self.boundary_patch)
+            hw = y[..., -add_c:] if reverse else y[..., :add_c]
+            hw = grouped_spatial_shift(hw, number)
             x = CAB2(self.n_feat, add_c, name=f'encoder_level1{suffix}__0',
-                     **kw)(x)
+                     **kw)(y, hw)
             x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1', **kw)(x)
         return x

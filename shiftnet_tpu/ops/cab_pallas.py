@@ -1,22 +1,27 @@
-"""Fused Pallas kernels for the CAB1/CAB2 hot path.
+"""Fused Pallas kernels for the CAB1/CAB2 shift-block hot path.
 
-Why: on TPU every conv is an XLA custom call — LayerNorm, gates, shifts and
-residuals around them cannot fuse, so each of the ~10 ops per CAB is a full
-HBM round trip.  At 720p a single shift-block CAB costs ~50 ms while its
-arithmetic is ~4 ms of MXU time.  These kernels collapse the CAB body into
-two passes with 4 HBM trips total:
+Why: TPU convs are XLA custom calls, so the LayerNorm / gates / depthwise /
+residual ops around them cannot fuse — every one of the ~10 ops per CAB is a
+full HBM round trip, and at 720p a shift-block CAB costs ~40 ms against ~4 ms
+of MXU work.  These kernels collapse the CAB body (reference ``CAB1``/``CAB2``,
+``gshift_deblur1.py:183-255``) into two passes and 4-5 HBM tensor trips:
 
-  pass A (``cab_front``): LayerNorm -> 1x1 expand (MXU) -> depthwise 3x3
-    (VPU, RepConv2 incl. identity) -> SimpleGate -> RepConv (grouped kxk as
-    block-diagonal dense matmul taps on the MXU + identity) -> 1x1 expand
-    (MXU) -> SimpleGate2, emitting the gated tensor ``s`` and per-frame
-    channel sums for the channel-attention pooling.
-  host: the tiny CA MLP on the (T, C) means (plain XLA).
-  pass B (``cab_back``): y = shortcut + beta * ((s * ca_scale) @ W_proj).
+  front pass: [CAB2: depthwise 3x3 on the shifted channels] -> LayerNorm ->
+    1x1 expand (MXU) -> RepConv2 depthwise 3x3 + identity (VPU) ->
+    SimpleGate -> RepConv grouped 5x5 + 3x3 + identity (block-diagonal dense
+    matmul taps on the MXU) -> 1x1 expand (MXU) -> SimpleGate2
+    => emits the gated tensor ``s`` and per-(frame, tile) channel sums.
+  host: channel-attention MLP on the (T, C) means (tiny, plain XLA).
+  back pass: out = shortcut + beta * ((s * ca[t]) @ W_proj (+ bias)).
 
-Reference semantics: ``CAB1``/``CAB2`` (``gshift_deblur1.py:183-255``).
-Grid: (T, H-tiles); each program holds full W rows in VMEM with a 1+k//2-row
-halo for the depthwise + grouped convs.
+Grid is (T, H/tile_h); each program DMAs its row window (+3-row halo for the
+stacked 3x3+5x5 supports) from HBM and keeps all intermediates in VMEM.
+Zero row/column padding reproduces the convs' 'SAME' borders exactly.
+
+The fused path is numerically equivalent to the layer-by-layer XLA path
+(same op order, f32 matmul accumulation and LN statistics); equivalence is
+asserted in tests/test_cab_fused.py.  Training uses the XLA path (no custom
+VJP yet); inference/eval uses this one.
 """
 from __future__ import annotations
 
@@ -25,203 +30,331 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def halo_for(add_c: int) -> int:
+    # 1 (RepConv2 dw 3x3) + 2 (RepConv 5x5) [+1 for CAB2's leading dw conv1]
+    return 4 if add_c else 3
 
-def _dense_from_grouped(kernel: jax.Array, groups: int) -> jax.Array:
-    """(kh, kw, Cin/G, Cout) grouped kernel -> (kh, kw, Cin, Cout) block-diag."""
+
+def dense_from_grouped(kernel: jax.Array, groups: int) -> jax.Array:
+    """(kh, kw, Cin/G, Cout) grouped kernel -> (kh*kw, Cin, Cout) block-diag
+    dense tap stack (tap-major)."""
     kh, kw, cing, cout = kernel.shape
     cin = cing * groups
     per = cout // groups
-    dense = jnp.zeros((kh, kw, cin, cout), kernel.dtype)
+    dense = jnp.zeros((kh * kw, cin, cout), kernel.dtype)
     for g in range(groups):
-        dense = dense.at[:, :, g * cing:(g + 1) * cing,
+        dense = dense.at[:, g * cing:(g + 1) * cing,
                          g * per:(g + 1) * per].set(
-            kernel[..., g * per:(g + 1) * per])
+            kernel.reshape(kh * kw, cing, cout)[..., g * per:(g + 1) * per])
     return dense
 
 
-def _front_kernel(x_ref, ln_w_ref, ln_b_ref, w0_ref, dw_ref, rep5_ref,
-                  rep3_ref, w4_ref, s_ref, sums_ref, *, halo: int,
-                  tile_h: int, c: int, c2: int, eps: float):
-    """One (frame, row-tile): rows [i*tile_h - halo, i*tile_h + tile_h + halo).
-
-    x_ref: (1, tile_h + 2*halo, W, Cin)  (pre-padded rows via index clamp)
-    s_ref: (1, tile_h, W, C)
-    sums_ref: (1, 1, C) partial sum of s over this tile (f32)
-    """
-    xt = x_ref[0]                                   # (th+2h, W, Cin)
+def _dw3x3(slab, dw_ref, rows_out, w, c, *, identity: bool):
+    """Depthwise 3x3 (+ optional identity) on VPU.  slab: (rows_out+2, W, C)
+    (row halo included); zero column padding; returns (rows_out, W, C) f32."""
     f32 = jnp.float32
+    zcol = jnp.zeros((rows_out + 2, 1, c), slab.dtype)
+    padded = jnp.concatenate([zcol, slab, zcol], axis=1)
+    center = jax.lax.slice(slab, (1, 0, 0), (1 + rows_out, w, c)).astype(f32)
+    acc = center if identity else jnp.zeros_like(center)
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice(padded, (dy, dx, 0),
+                                (dy + rows_out, dx + w, c))
+            acc = acc + tap.astype(f32) * dw_ref[dy * 3 + dx, :].astype(f32)
+    return acc
 
-    # LayerNorm over channels (fp32 stats).
-    x32 = xt.astype(f32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mu
+
+def _gate_kernel(x_hbm, hw_hbm, ln_w, ln_b, w0, dw0, dwc,
+                 g_ref, xbuf, hwbuf, sem1, sem2, *,
+                 tile_h: int, w: int, w_real: int, c: int, add_c: int,
+                 halo: int, eps: float, dtype):
+    """Kernel A: [CAB2 dw conv1] -> LayerNorm -> 1x1 expand -> RepConv2
+    (dw 3x3 + identity) -> SimpleGate.  Emits g with a 2-row halo margin
+    (kernel B needs +-2 rows for the 5x5 RepConv): g rows cover
+    [hi*tile_h - 2, hi*tile_h + tile_h + 2) of the image, stored in
+    (t, n_tiles, tile_h+4, w, c) without overlap in HBM."""
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    f32 = jnp.float32
+    rows_in = tile_h + 2 * halo
+    row0 = hi * tile_h
+
+    cp1 = pltpu.make_async_copy(
+        x_hbm.at[ti, pl.ds(row0, rows_in)], xbuf, sem1)
+    cp1.start()
+    if add_c:
+        cp2 = pltpu.make_async_copy(
+            hw_hbm.at[ti, pl.ds(row0, rows_in)], hwbuf, sem2)
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+    else:
+        cp1.wait()
+
+    xt = xbuf[..., :c]                                  # (rows_in, W, C)
+
+    if add_c:
+        hw2 = _dw3x3(hwbuf[..., :add_c], dwc, rows_in - 2, w, add_c,
+                     identity=False)
+        ln_in = jnp.concatenate(
+            [jax.lax.slice(xt, (1, 0, 0), (rows_in - 1, w, c)).astype(f32),
+             hw2], axis=-1)
+        rows_ln = rows_in - 2                           # tile_h + 4
+    else:
+        ln_in = xt.astype(f32)
+        rows_ln = rows_in                               # tile_h + 6
+
+    mu = jnp.mean(ln_in, axis=-1, keepdims=True)
+    xc = ln_in - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    ln = (xc * jax.lax.rsqrt(var + eps) * ln_w_ref[...].astype(f32)
-          + ln_b_ref[...].astype(f32)).astype(xt.dtype)
+    ln = (xc * jax.lax.rsqrt(var + eps) * ln_w[...].astype(f32)
+          + ln_b[...].astype(f32)).astype(dtype)
 
-    # 1x1 expand to 2C on the MXU.
-    h_all, w_all = ln.shape[0], ln.shape[1]
+    cin_ln = c + add_c
     a = jax.lax.dot_general(
-        ln.reshape(h_all * w_all, ln.shape[2]), w0_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=f32).reshape(h_all, w_all, c2).astype(xt.dtype)
+        ln.reshape(rows_ln * w, cin_ln), w0[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    a = a.reshape(rows_ln, w, 2 * c)
 
-    # RepConv2: depthwise 3x3 + identity (VPU, zero-padded columns).
-    ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
-    acc = a.astype(f32)
-    for dy in range(-1, 2):
-        ys = slice(1 + dy, 1 + dy + h_all) if False else None
-    acc = a.astype(f32)
-    ap2 = jnp.pad(a, ((1, 1), (1, 1), (0, 0)))
-    for dy in range(3):
-        for dx in range(3):
-            tap = jax.lax.slice(ap2, (dy, dx, 0), (dy + h_all, dx + w_all, c2))
-            acc = acc + tap.astype(f32) * dw_ref[dy, dx, :].astype(f32)
-    a = acc.astype(xt.dtype)
+    # zero out-of-image rows/columns (each conv zero-pads its OWN input in
+    # the reference; LN(0) = bias would otherwise leak into halos).
+    h_img = pl.num_programs(1) * tile_h
+    arow = jax.lax.broadcasted_iota(jnp.int32, (rows_ln, 1, 1), 0) \
+        + row0 - 3
+    acol = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    a_ok = (arow >= 0) & (arow < h_img) & (acol < w_real)
+    a = jnp.where(a_ok, a, jnp.zeros_like(a)).astype(dtype)
 
-    # SimpleGate.
-    g = a[..., :c] * a[..., c:]
+    rows_g = rows_ln - 2                                # tile_h + 4
+    g2 = _dw3x3(a, dw0, rows_g, w, 2 * c, identity=True)
+    g = (g2[..., :c] * g2[..., c:]).astype(dtype)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (rows_g, 1, 1), 0) \
+        + row0 - 2
+    g_ok = (grow >= 0) & (grow < h_img) & (acol < w_real)
+    g_ref[0, 0] = jnp.where(g_ok, g, jnp.zeros_like(g))
 
-    # RepConv: grouped 5x5 + grouped 3x3 + identity as dense block-diag
-    # matmul taps on the MXU. rep5_ref: (5, 5, C, C) dense; rep3: (3, 3, C, C).
-    gp = jnp.pad(g, ((2, 2), (2, 2), (0, 0)))
-    r = g.astype(f32)
-    for dy in range(5):
-        for dx in range(5):
-            tap = jax.lax.slice(gp, (dy, dx, 0), (dy + h_all, dx + w_all, c))
-            r = r + jax.lax.dot_general(
-                tap.reshape(h_all * w_all, c), rep5_ref[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).reshape(h_all, w_all, c)
-    gp3 = jnp.pad(g, ((1, 1), (1, 1), (0, 0)))
-    for dy in range(3):
-        for dx in range(3):
-            tap = jax.lax.slice(gp3, (dy, dx, 0), (dy + h_all, dx + w_all, c))
-            r = r + jax.lax.dot_general(
-                tap.reshape(h_all * w_all, c), rep3_ref[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32).reshape(h_all, w_all, c)
-    r = r.astype(xt.dtype)
 
-    # 1x1 expand + SimpleGate2; keep only the valid (non-halo) rows.
-    rv = jax.lax.slice(r, (halo, 0, 0), (halo + tile_h, w_all, c))
+def _rep_kernel(g_ref, rep5, rep3, w4, s_ref, sums_ref, *,
+                tile_h: int, w: int, w_real: int, c: int, dtype):
+    """Kernel B: RepConv (grouped 5x5 + 3x3 + identity via block-diagonal
+    dense MXU taps) -> 1x1 expand -> SimpleGate2 (+ CA partial sums).
+    g_ref block: (1, 1, tile_h+4, w, c) — the haloed gate output."""
+    f32 = jnp.float32
+    g = g_ref[0, 0]
+    rows_g = tile_h + 4
+    rows_out = tile_h
+    zc2 = jnp.zeros((rows_g, 2, c), dtype)
+    gp = jnp.concatenate([zc2, g, zc2], axis=1)
+    r = jax.lax.slice(g, (2, 0, 0), (2 + rows_out, w, c)).astype(f32)
+    for i in range(25):
+        dy, dx = divmod(i, 5)
+        tap = jax.lax.slice(gp, (dy, dx, 0), (dy + rows_out, dx + w, c))
+        r = r + jax.lax.dot_general(
+            tap.reshape(rows_out * w, c), rep5[i],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(rows_out, w, c)
+    for i in range(9):
+        dy, dx = divmod(i, 3)
+        tap = jax.lax.slice(gp, (1 + dy, 1 + dx, 0),
+                            (1 + dy + rows_out, 1 + dx + w, c))
+        r = r + jax.lax.dot_general(
+            tap.reshape(rows_out * w, c), rep3[i],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).reshape(rows_out, w, c)
+    r = r.astype(dtype)
+
     e = jax.lax.dot_general(
-        rv.reshape(tile_h * w_all, c), w4_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=f32).reshape(tile_h, w_all, c2)
-    s = (e[..., :c] * jax.nn.sigmoid(e[..., c:])).astype(xt.dtype)
-
+        r.reshape(rows_out * w, c), w4[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    e = e.reshape(rows_out, w, 2 * c)
+    s = (e[..., :c].astype(dtype)
+         * jax.nn.sigmoid(e[..., c:]).astype(dtype))
+    scol = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    s = jnp.where(scol < w_real, s, jnp.zeros_like(s))
     s_ref[0] = s
-    sums_ref[0, 0] = jnp.sum(s.astype(f32), axis=(0, 1))
+    sums_ref[0, 0, 0] = jnp.sum(s.astype(f32), axis=(0, 1))
 
 
-def _back_kernel(s_ref, ca_ref, w7_ref, b7_ref, short_ref, beta_ref, out_ref,
-                 *, c: int, use_bias: bool):
+def _back_kernel(s_ref, ca_ref, w7, b7, short_ref, beta_ref, out_ref, *,
+                 use_bias: bool):
     f32 = jnp.float32
     s = s_ref[0]
-    th, w_all = s.shape[0], s.shape[1]
-    scaled = s * ca_ref[0].astype(s.dtype)
+    th, w, c = s.shape
+    scaled = s * ca_ref[0, 0].astype(s.dtype)
     y = jax.lax.dot_general(
-        scaled.reshape(th * w_all, c), w7_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)
+        scaled.reshape(th * w, c), w7[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
     if use_bias:
-        y = y + b7_ref[...].astype(f32)
-    y = y.reshape(th, w_all, c)
+        y = y + b7[...].astype(f32)
     out_ref[0] = (short_ref[0].astype(f32)
-                  + y * beta_ref[...].astype(f32)).astype(s.dtype)
+                  + y.reshape(th, w, c) * beta_ref[...].astype(f32)
+                  ).astype(s.dtype)
 
 
-def _row_padded(x: jax.Array, halo: int) -> jax.Array:
-    """Pad rows by `halo` with zeros (conv 'SAME' semantics at tile edges)."""
-    return jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+def _should_interpret() -> bool:
+    """Interpret-mode when the computation targets CPU (tests / virtual
+    meshes); compiled Mosaic on real TPU."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, 'platform', None) == 'cpu'
+    return jax.default_backend() != 'tpu'
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('groups', 'mid_ca', 'use_last_bias', 'tile_h', 'eps'))
-def cab_fused(x, params: dict[str, Any], *, groups: int,
-              mid_ca: bool = False, use_last_bias: bool = False,
-              tile_h: int = 16, eps: float = 1e-6):
-    """Fused CAB1 forward (big-variant layout: no mid CA).
+def pick_tile_h(h: int, w: int, c: int, add_c: int) -> int | None:
+    """Largest row tile fitting VMEM.  Mosaic allocates the kernel's buffers
+    without cross-stage reuse, so budget against the SUM of live buffers of
+    the heavier kernel (A: LN/expand/dw, B: RepConv taps)."""
+    lanes = lambda ch: ((ch + 127) // 128) * 128
+    wp = ((w + 7) // 8) * 8
+    for tile_h in (32, 16, 8, 4):
+        if h % tile_h:
+            continue
+        rows = tile_h + 2 * halo_for(add_c)
+        rows_g = tile_h + 4
+        a_kernel = (
+            rows * wp * lanes(c) * 2 +                    # xbuf
+            (rows * wp * lanes(add_c) * 2 if add_c else 0) +
+            rows * wp * lanes(c + add_c) * 4 +            # ln f32
+            rows * wp * lanes(2 * c) * 4 +                # a f32
+            rows * wp * lanes(2 * c) * 4 +                # dw accum f32
+            rows_g * wp * lanes(c) * 2                    # g out
+        )
+        b_kernel = (
+            rows_g * wp * lanes(c) * 2 +                  # g in
+            rows_g * (wp + 4) * lanes(c) * 2 +            # gp
+            tile_h * wp * lanes(c) * 4 +                  # r f32
+            tile_h * wp * lanes(2 * c) * 4 +              # e f32
+            tile_h * wp * lanes(c) * 2                    # s out
+        )
+        if max(a_kernel, b_kernel) < 13 * 1024 * 1024:
+            return tile_h
+    return None
 
-    x: (T, H, W, C) input (the LN/shortcut source).
-    params: {'ln_w','ln_b','w0' (C,2C),'dw' (3,3,2C),'rep5' (5,5,C/G? dense),
-             'rep3', 'w4' (C,2C), 'du1' (C, C/r), 'du2' (C/r, C),
-             'w7' (C,C), 'b7' (C,) optional, 'beta' (C,)}
+
+def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
+              groups: int, use_last_bias: bool = False,
+              eps: float = 1e-6, interpret: bool | None = None) -> jax.Array:
+    """Fused CAB forward.  ``hw`` is the spatially-shifted extra channels for
+    CAB2 (None for CAB1).  ``params``: ln_w, ln_b, w0 (Cin,2C), dw0 (3,3,2C),
+    [dwc (3,3,add_c) for CAB2], rep5 (5,5,C/G,C), rep3 (3,3,C/G,C),
+    w4 (C,2C), du1 (C,C/r), du2 (C/r,C), w7 (C,C), [b7 (C,)], beta (C,).
     """
-    assert not mid_ca, 'denoise mid-CA variant not fused yet'
     t, h, w, c = x.shape
-    c2 = 2 * c
-    halo = 3  # 1 (dw3x3) + 2 (rep 5x5)
-    n_tiles = (h + tile_h - 1) // tile_h
-    assert h % tile_h == 0, (h, tile_h)
+    add_c = 0 if hw is None else hw.shape[-1]
     dtype = x.dtype
+    tile_h = pick_tile_h(h, w, c, add_c)
+    assert tile_h is not None, (h, w, c, add_c)
+    n_tiles = h // tile_h
+    halo = halo_for(add_c)
+    if interpret is None:
+        interpret = _should_interpret()
 
-    xp = _row_padded(x, halo)
+    # Mosaic DMA slices must be (8, 128)-aligned in the last two dims: pad
+    # W to a sublane multiple and channels to a lane multiple host-side (the
+    # pads fuse into the producer); padded columns are masked in-kernel.
+    w_real = w
+    wp = ((w + 7) // 8) * 8
+    cpad = ((c + 127) // 128) * 128
+    acpad = ((add_c + 127) // 128) * 128 if add_c else 128
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (0, wp - w), (0, cpad - c)))
+    hwp = (jnp.pad(hw, ((0, 0), (halo, halo), (0, wp - w), (0, acpad - add_c)))
+           if hw is not None
+           else jnp.zeros((t, h + 2 * halo, wp, acpad), dtype))
+    w = wp
+
+    rep5 = dense_from_grouped(params['rep5'], groups).astype(dtype)
+    rep3 = dense_from_grouped(params['rep3'], groups).astype(dtype)
+    dw0 = params['dw0'].reshape(9, 2 * c).astype(dtype)
+    dwc = (params['dwc'].reshape(9, add_c).astype(dtype)
+           if add_c else jnp.zeros((9, 1), dtype))
 
     grid = (t, n_tiles)
-    s, sums = pl.pallas_call(
-        functools.partial(_front_kernel, halo=halo, tile_h=tile_h, c=c,
-                          c2=c2, eps=eps),
+    rows_g = tile_h + 4
+
+    g = pl.pallas_call(
+        functools.partial(_gate_kernel, tile_h=tile_h, w=w, w_real=w_real,
+                          c=c, add_c=add_c, halo=halo, eps=eps, dtype=dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_h + 2 * halo, w, c),
-                         lambda ti, hi: (ti, hi, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # hw (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dw0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dwc
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows_g, w, c),
+                               lambda ti, hi: (ti, hi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n_tiles, rows_g, w, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * halo, w, cpad), dtype),
+            pltpu.VMEM((tile_h + 2 * halo, w, acpad), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, hwp, params['ln_w'].astype(dtype), params['ln_b'].astype(dtype),
+      params['w0'].astype(dtype), dw0, dwc)
+
+    s, sums = pl.pallas_call(
+        functools.partial(_rep_kernel, tile_h=tile_h, w=w, w_real=w_real,
+                          c=c, dtype=dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rows_g, w, c),
+                         lambda ti, hi: (ti, hi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rep5 dense
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # rep3 dense
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w4
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rep5
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rep3
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w4
         ],
         out_specs=[
             pl.BlockSpec((1, tile_h, w, c), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda ti, hi: (ti, hi, 0),
+            pl.BlockSpec((1, 1, 1, c), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, h, w, c), dtype),
-            jax.ShapeDtypeStruct((t, n_tiles, c), jnp.float32),
+            jax.ShapeDtypeStruct((t, n_tiles, 1, c), jnp.float32),
         ],
-    )(xp, params['ln_w'].astype(dtype), params['ln_b'].astype(dtype),
-      params['w0'].astype(dtype), params['dw'].astype(dtype),
-      _dense_from_grouped(params['rep5'], groups).astype(dtype),
-      _dense_from_grouped(params['rep3'], groups).astype(dtype),
-      params['w4'].astype(dtype))
+        interpret=interpret,
+    )(g, rep5, rep3, params['w4'].astype(dtype))
 
-    # Channel attention on per-frame means (tiny; plain XLA).
-    mean = jnp.sum(sums, axis=1) / (h * w)               # (T, C) f32
+    # Channel attention on per-frame means (reference CALayer2,
+    # gshift_deblur1.py:71-87) — tiny, plain XLA.
+    mean = (jnp.sum(sums[:, :, 0], axis=1) / (h * w_real))  # (T, C) f32
     z = jnp.maximum(mean @ params['du1'].astype(jnp.float32), 0.0)
-    ca = jax.nn.sigmoid(z @ params['du2'].astype(jnp.float32))  # (T, C)
+    ca = jax.nn.sigmoid(z @ params['du2'].astype(jnp.float32))
 
     out = pl.pallas_call(
-        functools.partial(_back_kernel, c=c, use_last_bias and True or False)
-        if False else
-        functools.partial(_back_kernel, c=c, use_bias=use_last_bias),
+        functools.partial(_back_kernel, use_bias=use_last_bias),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_h, w, c), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda ti, hi: (ti, 0),
+            pl.BlockSpec((1, 1, c), lambda ti, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w7
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b7
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w7
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b7
             pl.BlockSpec((1, tile_h, w, c), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # beta
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # beta
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w, c), lambda ti, hi: (ti, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_h, w, c),
+                               lambda ti, hi: (ti, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, h, w, c), dtype),
-    )(s, ca.astype(dtype),
-      params['w7'].astype(dtype),
-      params.get('b7', jnp.zeros((c,), dtype)).astype(dtype),
-      x, params['beta'].astype(dtype))
-    return out
+        interpret=interpret,
+    )(s, ca.reshape(t, 1, c).astype(dtype), params['w7'].astype(dtype),
+      params.get('b7', jnp.zeros((c,), jnp.float32)).astype(dtype),
+      jnp.pad(x, ((0, 0), (0, 0), (0, w - w_real), (0, 0))),
+      params['beta'].astype(dtype))
+    return out[:, :, :w_real]
