@@ -33,7 +33,9 @@ def main():
                         past_frames=halo, future_frames=halo)
     rng = jax.random.PRNGKey(0)
     video = jax.random.uniform(rng, (t, h, w, 3), jnp.bfloat16)
-    params = init_params(model, video[: 2 * halo + 1], seed=1)
+    # params are shape-independent; init on a small clip to keep the
+    # (uncached) init compile fast.
+    params = init_params(model, video[: 2 * halo + 1, :64, :64], seed=1)
 
     @jax.jit
     def forward(params, x):

@@ -571,7 +571,14 @@ class EncoderShiftBlock(nn.Module):
             y = temporal_channel_shift(x, reverse=reverse,
                                        boundary_patch=self.boundary_patch)
             hw = y[..., -add_c:] if reverse else y[..., :add_c]
-            hw = grouped_spatial_shift(hw, number)
+            if self.fused:
+                from shiftnet_tpu.ops.cab_pallas import _should_interpret
+                from shiftnet_tpu.ops.shift_pallas import (
+                    grouped_spatial_shift_pallas)
+                hw = grouped_spatial_shift_pallas(
+                    hw, number, interpret=_should_interpret())
+            else:
+                hw = grouped_spatial_shift(hw, number)
             x = CAB2(self.n_feat, add_c, name=f'encoder_level1{suffix}__0',
                      **kw)(y, hw)
             x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1', **kw)(x)
