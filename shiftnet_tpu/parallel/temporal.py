@@ -70,7 +70,7 @@ def temporal_parallel_forward(apply_fn: Callable, mesh: Mesh, halo: int = 2,
 
         in_specs = (P(), P(axis), (P(axis) if noise_map is not None else P()))
         fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                       out_specs=P(axis), check_rep=False)
+                       out_specs=P(axis))
         return fn(params, video, noise_map)
 
     return sharded

@@ -210,8 +210,15 @@ def gen_metric_fixtures():
     rng = np.random.default_rng(11)
     img = rng.uniform(0, 255, (48, 56, 3)).astype(np.float32)
     img2 = np.clip(img + rng.normal(0, 10, img.shape), 0, 255).astype(np.float32)
+    import torch as _t
+    res_in = (img[:37, :53] / 255.0).astype(np.float32)
     out = dict(
         img=img, img2=img2,
+        resize_in=res_in,
+        resize_half=mf.imresize(_t.from_numpy(res_in).permute(2, 0, 1), 0.5,
+                                True).permute(1, 2, 0).numpy(),
+        resize_2x=mf.imresize(_t.from_numpy(res_in).permute(2, 0, 1), 2.0,
+                              True).permute(1, 2, 0).numpy(),
         rgb2y=mf.rgb2ycbcr(img / 255.0, y_only=True),
         rgb2ycbcr=mf.rgb2ycbcr(img / 255.0),
         bgr2y=mf.bgr2ycbcr(img / 255.0, y_only=True),

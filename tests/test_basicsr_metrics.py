@@ -37,3 +37,12 @@ def test_calculate_ssim_y():
     got = calculate_ssim(fx['img'], fx['img2'], crop_border=4,
                          test_y_channel=True)
     assert abs(got - float(fx['ssim_y'])) < 1e-6
+
+
+def test_imresize_matlab():
+    from shiftnet_tpu.eval.imresize import imresize
+    fx = load_fixture('metrics_basicsr')
+    got = imresize(fx['resize_in'], 0.5, True)
+    np.testing.assert_allclose(got, fx['resize_half'], atol=5e-6)
+    got = imresize(fx['resize_in'], 2.0, True)
+    np.testing.assert_allclose(got, fx['resize_2x'], atol=5e-6)
