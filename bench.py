@@ -22,9 +22,9 @@ def main():
     from shiftnet_tpu.utils.jaxenv import setup_jax
     setup_jax()
     from shiftnet_tpu.models import build_model, init_params
-    from shiftnet_tpu.eval.window import quadrant_slices
+    from shiftnet_tpu.eval.window import half_slices
 
-    one_len = 12          # frames predicted per window
+    one_len = 36          # frames predicted per window
     halo = 2
     h, w = 720, 1280
     t = one_len + 2 * halo
@@ -42,7 +42,7 @@ def main():
         return model.apply({'params': params}, x)
 
     tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
-             for in_sl, _, _ in quadrant_slices(h, w)]
+             for in_sl, _, _ in half_slices(h, w)]
 
     # Compile + warmup; then DRAIN via a data fetch: on this backend
     # block_until_ready can return before execution finishes, so only an

@@ -23,7 +23,8 @@ import numpy as np
 
 from shiftnet_tpu.data.video_dataset import _imread
 from shiftnet_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
-from shiftnet_tpu.eval.window import (mod_crop, plan_deblur_chunks,
+from shiftnet_tpu.eval.window import (half_slices, mod_crop,
+                                      plan_deblur_chunks,
                                       plan_denoise_chunks, quadrant_slices)
 from shiftnet_tpu.models import CONFIGS, build_model
 from shiftnet_tpu.utils.logging import get_logger
@@ -89,8 +90,22 @@ class Evaluator:
                 gts = [mod_crop(g, 4) for g in gts]
                 x = jnp.asarray(inp, self.dtype) / 255.0
                 t1 = time.time()
-                out = self._forward(x.shape)(self.params, x)
-                out = np.asarray(out.astype(jnp.float32))
+                tt, hh, ww, _ = x.shape
+                if tt * hh * ww > 22_000_000:
+                    # Window exceeds the single-chip HBM envelope: stitch
+                    # half-height tiles (reference quadrant-tiling analog,
+                    # test_denoise.py:153-173).
+                    out = np.zeros((tt - 2 * self.halo, hh, ww, 3),
+                                   np.float32)
+                    for in_sl, crop_sl, out_sl in half_slices(hh, ww):
+                        xt = x[:, in_sl[0], in_sl[1]]
+                        o = self._forward(xt.shape)(self.params, xt)
+                        o = np.asarray(o.astype(jnp.float32))
+                        out[:, out_sl[0], out_sl[1]] = \
+                            o[:, crop_sl[0], crop_sl[1]]
+                else:
+                    out = self._forward(x.shape)(self.params, x)
+                    out = np.asarray(out.astype(jnp.float32))
                 t2 = time.time()
                 p_, s_ = self._score(out, gts, v, ch.out_start)
                 vp += p_; vs += s_

@@ -71,6 +71,19 @@ def quadrant_slices(h: int, w: int):
     ]
 
 
+def half_slices(h: int, w: int):
+    """Two full-width half-height tiles with 16-px-aligned overlap (same pad
+    rule as the quadrants) — fewer, larger launches when HBM allows."""
+    ph = 32 - (h // 2 % 16)
+    H2 = h // 2
+    return [
+        ((slice(0, H2 + ph), slice(0, w)),
+         (slice(0, -ph), slice(0, w)), (slice(0, H2), slice(0, w))),
+        ((slice(H2 - ph, h), slice(0, w)),
+         (slice(ph, None), slice(0, w)), (slice(H2, h), slice(0, w))),
+    ]
+
+
 def mod_crop(img: np.ndarray, mode: int = 4) -> np.ndarray:
     """Crop H,W down to multiples of ``mode`` (``test_deblur.py:125-127``)."""
     h, w = img.shape[-3], img.shape[-2]
