@@ -57,3 +57,27 @@ def test_quadrant_stitch_identity():
         tile = img[:, in_sl[0], in_sl[1]]
         out[:, out_sl[0], out_sl[1]] = tile[:, crop_sl[0], crop_sl[1]]
     np.testing.assert_array_equal(out, img)
+
+
+def test_half_tiles_cover_exactly():
+    from shiftnet_tpu.eval.window import half_slices
+    h, w = 720, 1280
+    canvas = np.zeros((h, w), np.int32)
+    for in_sl, crop_sl, out_sl in half_slices(h, w):
+        tile = np.zeros((h, w), np.int32)[in_sl]
+        assert tile.shape[0] % 16 == 0
+        sub = np.zeros(tile.shape, np.int32)[crop_sl]
+        assert sub.shape == canvas[out_sl].shape
+        canvas[out_sl] += 1
+    assert (canvas == 1).all()
+
+
+def test_half_tiles_stitch_identity():
+    from shiftnet_tpu.eval.window import half_slices
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((3, 64, 96, 3)).astype(np.float32)
+    out = np.zeros_like(img)
+    for in_sl, crop_sl, out_sl in half_slices(64, 96):
+        tile = img[:, in_sl[0], in_sl[1]]
+        out[:, out_sl[0], out_sl[1]] = tile[:, crop_sl[0], crop_sl[1]]
+    np.testing.assert_array_equal(out, img)
