@@ -30,12 +30,16 @@ def main():
     ap.add_argument('--one_len', type=int, default=48)
     ap.add_argument('--fp32', action='store_true')
     ap.add_argument('--save_image', action='store_true')
+    ap.add_argument('--profile', default=None,
+                    help='capture a jax.profiler trace to this dir')
     args = ap.parse_args()
 
     params = load_params(args.variant, args.model_path, halo=2)
     ev = Evaluator(args.variant, params, result_path=args.result_path,
                    bf16=not args.fp32, save_images=args.save_image)
-    res = ev.eval_deblur(args.data_path, one_len=args.one_len)
+    from shiftnet_tpu.utils.profiling import trace
+    with trace(args.profile):
+        res = ev.eval_deblur(args.data_path, one_len=args.one_len)
     print(res)
 
 

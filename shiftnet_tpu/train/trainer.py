@@ -58,6 +58,10 @@ class Trainer:
             total_iters=int(train_opt['scheduler'].get('T_max',
                                                        self.total_iters)),
             eta_min=float(train_opt['scheduler'].get('eta_min', 1e-7)),
+            scheduler_kind=str(train_opt['scheduler'].get('type', 'cosine')),
+            scheduler_kwargs={k: v for k, v in train_opt['scheduler'].items()
+                              if k not in ('type', 'eta_min')},
+            warmup_iter=int(train_opt.get('warmup_iter', -1)),
             grad_clip=train_opt.get('grad_clip', 0.01),
             lr_group_scales=train_opt.get('lr_group_scales', {}) or {},
         )
