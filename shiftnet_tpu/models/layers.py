@@ -313,23 +313,34 @@ def naf_body(x, *, n_feat: int, kernel_size: int, reduction: int,
 
 def _declare_naf_params(mod, cin_ln: int, n: int, kernel_size: int,
                         reduction: int, use_bias: bool, last_bias: bool,
-                        repconv_depthwise: bool, dtype, add_channel: int = 0):
+                        repconv_depthwise: bool, dtype, add_channel: int = 0,
+                        mid_ca: bool = False):
     """Create the CAB1/CAB2 parameter tree through the regular child modules
     (1-pixel dummy calls — negligible compute, DCE'd), then collect the raw
     values for the fused Pallas kernel.  Guarantees the fused and layer-by-
-    layer paths share one parameter layout (and the torch converter)."""
+    layer paths share one parameter layout (and the torch converter).
+
+    Sequential indices shift by one after the gate when the denoise variants'
+    mid CALayer2 is present (torch module list, gshift_denoise1.py:224-229)."""
     z = lambda c: jnp.zeros((1, 1, 1, c), dtype)
+    off = 1 if mid_ca else 0
     if add_channel:
         Conv2d(add_channel, 3, use_bias=use_bias, groups=add_channel,
                dtype=dtype, name='conv1')(z(add_channel))
     LayerNorm2d(cin_ln, name='norm')(z(cin_ln))
     Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype, name='body__0')(z(cin_ln))
     RepConv2(2 * n, use_bias=use_bias, dtype=dtype, name='body__1')(z(2 * n))
+    if mid_ca:
+        CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
+                name='body__3')(z(n))
     RepConv(n, kernel_size, use_bias=use_bias, depthwise=repconv_depthwise,
-            dtype=dtype, name='body__3')(z(n))
-    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype, name='body__4')(z(n))
-    CALayer(n, reduction, use_bias=use_bias, dtype=dtype, name='body__6')(z(n))
-    Conv2d(n, 1, use_bias=last_bias, dtype=dtype, name='body__7')(z(n))
+            dtype=dtype, name=f'body__{3 + off}')(z(n))
+    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype,
+           name=f'body__{4 + off}')(z(n))
+    CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
+            name=f'body__{6 + off}')(z(n))
+    Conv2d(n, 1, use_bias=last_bias, dtype=dtype,
+           name=f'body__{7 + off}')(z(n))
 
     v = mod.variables['params']
     k = lambda *path: jnp.asarray(_tree_get(v, path))
@@ -338,16 +349,23 @@ def _declare_naf_params(mod, cin_ln: int, n: int, kernel_size: int,
         'ln_b': k('norm', 'bias'),
         'w0': k('body__0', 'conv', 'kernel').reshape(cin_ln, 2 * n),
         'dw0': k('body__1', 'conv_2', 'conv', 'kernel')[:, :, 0, :],
-        'rep5': k('body__3', 'conv_1', 'conv', 'kernel'),
-        'rep3': k('body__3', 'conv_2', 'conv', 'kernel'),
-        'w4': k('body__4', 'conv', 'kernel').reshape(n, 2 * n),
-        'du1': k('body__6', 'conv_du__0', 'conv', 'kernel').reshape(n, -1),
-        'du2': k('body__6', 'conv_du__2', 'conv', 'kernel').reshape(-1, n),
-        'w7': k('body__7', 'conv', 'kernel').reshape(n, n),
+        'rep5': k(f'body__{3 + off}', 'conv_1', 'conv', 'kernel'),
+        'rep3': k(f'body__{3 + off}', 'conv_2', 'conv', 'kernel'),
+        'w4': k(f'body__{4 + off}', 'conv', 'kernel').reshape(n, 2 * n),
+        'du1': k(f'body__{6 + off}', 'conv_du__0', 'conv',
+                 'kernel').reshape(n, -1),
+        'du2': k(f'body__{6 + off}', 'conv_du__2', 'conv',
+                 'kernel').reshape(-1, n),
+        'w7': k(f'body__{7 + off}', 'conv', 'kernel').reshape(n, n),
         'beta': jnp.asarray(v['beta']).reshape(n),
     }
+    if mid_ca:
+        params['du1m'] = k('body__3', 'conv_du__0', 'conv',
+                           'kernel').reshape(n, -1)
+        params['du2m'] = k('body__3', 'conv_du__2', 'conv',
+                           'kernel').reshape(-1, n)
     if last_bias:
-        params['b7'] = k('body__7', 'conv', 'bias')
+        params['b7'] = k(f'body__{7 + off}', 'conv', 'bias')
     if add_channel:
         params['dwc'] = k('conv1', 'conv', 'kernel')[:, :, 0, :]
     return params
@@ -376,7 +394,7 @@ class CAB1(nn.Module):
     def __call__(self, x):
         beta = self.param('beta', nn.initializers.zeros,
                           (1, 1, 1, self.n_feat), jnp.float32)
-        if self.fused and not self.mid_ca and self.kernel_size == 5:
+        if self.fused and self.kernel_size == 5:
             from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
             if pick_tile_h(x.shape[1], x.shape[2], self.n_feat, 0) is not None:
                 groups = (self.n_feat if self.repconv_depthwise
@@ -384,9 +402,10 @@ class CAB1(nn.Module):
                 params = _declare_naf_params(
                     self, self.n_feat, self.n_feat, self.kernel_size,
                     self.reduction, self.use_bias, self.last_bias,
-                    self.repconv_depthwise, self.dtype)
+                    self.repconv_depthwise, self.dtype, mid_ca=self.mid_ca)
                 return cab_fused(x, None, params, groups=groups,
-                                 use_last_bias=self.last_bias)
+                                 use_last_bias=self.last_bias,
+                                 mid_ca=self.mid_ca)
         y = LayerNorm2d(self.n_feat, name='norm')(x)
         y = naf_body(y, n_feat=self.n_feat, kernel_size=self.kernel_size,
                      reduction=self.reduction, use_bias=self.use_bias,
@@ -418,8 +437,7 @@ class CAB2(nn.Module):
     @nn.compact
     def __call__(self, x_input, hw_input=None):
         n = self.n_feat
-        if hw_input is not None and self.fused and not self.mid_ca \
-                and self.kernel_size == 5:
+        if hw_input is not None and self.fused and self.kernel_size == 5:
             from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
             if pick_tile_h(x_input.shape[1], x_input.shape[2], n,
                            self.add_channel) is not None:
@@ -430,9 +448,10 @@ class CAB2(nn.Module):
                     self, n + self.add_channel, n, self.kernel_size,
                     self.reduction, self.use_bias, self.last_bias,
                     self.repconv_depthwise, self.dtype,
-                    add_channel=self.add_channel)
+                    add_channel=self.add_channel, mid_ca=self.mid_ca)
                 return cab_fused(x_input, hw_input, params, groups=groups,
-                                 use_last_bias=self.last_bias)
+                                 use_last_bias=self.last_bias,
+                                 mid_ca=self.mid_ca)
         if hw_input is not None:
             x_input = jnp.concatenate([x_input, hw_input], axis=-1)
         beta = self.param('beta', nn.initializers.zeros, (1, 1, 1, n),

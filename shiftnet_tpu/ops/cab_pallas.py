@@ -70,7 +70,7 @@ def _dw3x3(slab, dw_ref, rows_out, w, c, *, identity: bool):
 
 
 def _gate_kernel(x_hbm, hw_hbm, ln_w, ln_b, w0, dw0, dwc,
-                 g_ref, xbuf, hwbuf, sem1, sem2, *,
+                 g_ref, gsums_ref, xbuf, hwbuf, sem1, sem2, *,
                  tile_h: int, w: int, w_real: int, c: int, add_c: int,
                  halo: int, eps: float, dtype):
     """Kernel A: [CAB2 dw conv1] -> LayerNorm -> 1x1 expand -> RepConv2
@@ -136,16 +136,24 @@ def _gate_kernel(x_hbm, hw_hbm, ln_w, ln_b, w0, dw0, dwc,
     grow = jax.lax.broadcasted_iota(jnp.int32, (rows_g, 1, 1), 0) \
         + row0 - 2
     g_ok = (grow >= 0) & (grow < h_img) & (acol < w_real)
-    g_ref[0, 0] = jnp.where(g_ok, g, jnp.zeros_like(g))
+    g = jnp.where(g_ok, g, jnp.zeros_like(g))
+    g_ref[0, 0] = g
+    # central (non-halo) rows feed the mid-CA pooling (denoise variants)
+    gsums_ref[0, 0, 0] = jnp.sum(
+        jax.lax.slice(g, (2, 0, 0), (2 + tile_h, w, c)).astype(f32),
+        axis=(0, 1))
 
 
-def _rep_kernel(g_ref, rep5, rep3, w4, s_ref, sums_ref, *,
+def _rep_kernel(g_ref, cag_ref, rep5, rep3, w4, s_ref, sums_ref, *,
                 tile_h: int, w: int, w_real: int, c: int, dtype):
-    """Kernel B: RepConv (grouped 5x5 + 3x3 + identity via block-diagonal
-    dense MXU taps) -> 1x1 expand -> SimpleGate2 (+ CA partial sums).
-    g_ref block: (1, 1, tile_h+4, w, c) — the haloed gate output."""
+    """Kernel B: [mid-CA scale] -> RepConv (grouped 5x5 + 3x3 + identity via
+    block-diagonal dense MXU taps) -> 1x1 expand -> SimpleGate2 (+ CA partial
+    sums).  g_ref block: (1, 1, tile_h+4, w, c) — the haloed gate output;
+    cag_ref: (1, 1, c) per-frame channel-attention scale (ones for deblur).
+    The per-channel scale commutes with the halo (uniform over space), so
+    scaling the haloed g equals the reference's CA-then-RepConv order."""
     f32 = jnp.float32
-    g = g_ref[0, 0]
+    g = g_ref[0, 0] * cag_ref[0, 0].astype(dtype)
     rows_g = tile_h + 4
     rows_out = tile_h
     zc2 = jnp.zeros((rows_g, 2, c), dtype)
@@ -237,12 +245,14 @@ def pick_tile_h(h: int, w: int, c: int, add_c: int) -> int | None:
 
 
 def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
-              groups: int, use_last_bias: bool = False,
+              groups: int, use_last_bias: bool = False, mid_ca: bool = False,
               eps: float = 1e-6, interpret: bool | None = None) -> jax.Array:
     """Fused CAB forward.  ``hw`` is the spatially-shifted extra channels for
     CAB2 (None for CAB1).  ``params``: ln_w, ln_b, w0 (Cin,2C), dw0 (3,3,2C),
     [dwc (3,3,add_c) for CAB2], rep5 (5,5,C/G,C), rep3 (3,3,C/G,C),
-    w4 (C,2C), du1 (C,C/r), du2 (C/r,C), w7 (C,C), [b7 (C,)], beta (C,).
+    w4 (C,2C), du1 (C,C/r), du2 (C/r,C), w7 (C,C), [b7 (C,)], beta (C,);
+    denoise variants additionally du1m/du2m for the mid CALayer2
+    (``gshift_denoise1.py:224-229``) with ``mid_ca=True``.
     """
     t, h, w, c = x.shape
     add_c = 0 if hw is None else hw.shape[-1]
@@ -276,7 +286,7 @@ def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
     grid = (t, n_tiles)
     rows_g = tile_h + 4
 
-    g = pl.pallas_call(
+    g, gsums = pl.pallas_call(
         functools.partial(_gate_kernel, tile_h=tile_h, w=w, w_real=w_real,
                           c=c, add_c=add_c, halo=halo, eps=eps, dtype=dtype),
         grid=grid,
@@ -289,10 +299,17 @@ def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # dw0
             pl.BlockSpec(memory_space=pltpu.VMEM),   # dwc
         ],
-        out_specs=pl.BlockSpec((1, 1, rows_g, w, c),
-                               lambda ti, hi: (ti, hi, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n_tiles, rows_g, w, c), dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, rows_g, w, c),
+                         lambda ti, hi: (ti, hi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, n_tiles, rows_g, w, c), dtype),
+            jax.ShapeDtypeStruct((t, n_tiles, 1, c), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * halo, w, cpad), dtype),
             pltpu.VMEM((tile_h + 2 * halo, w, acpad), dtype),
@@ -303,6 +320,14 @@ def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
     )(xp, hwp, params['ln_w'].astype(dtype), params['ln_b'].astype(dtype),
       params['w0'].astype(dtype), dw0, dwc)
 
+    if mid_ca:
+        # reference denoise mid CALayer2 on the gate output
+        gmean = jnp.sum(gsums[:, :, 0], axis=1) / (h * w_real)   # (T, C)
+        zm = jnp.maximum(gmean @ params['du1m'].astype(jnp.float32), 0.0)
+        cag = jax.nn.sigmoid(zm @ params['du2m'].astype(jnp.float32))
+    else:
+        cag = jnp.ones((t, c), jnp.float32)
+
     s, sums = pl.pallas_call(
         functools.partial(_rep_kernel, tile_h=tile_h, w=w, w_real=w_real,
                           c=c, dtype=dtype),
@@ -311,6 +336,8 @@ def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
             pl.BlockSpec((1, 1, rows_g, w, c),
                          lambda ti, hi: (ti, hi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda ti, hi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),   # cag
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rep5
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rep3
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w4
@@ -326,7 +353,8 @@ def cab_fused(x: jax.Array, hw: jax.Array | None, params: dict[str, Any], *,
             jax.ShapeDtypeStruct((t, n_tiles, 1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(g, rep5, rep3, params['w4'].astype(dtype))
+    )(g, cag.reshape(t, 1, c).astype(dtype), rep5, rep3,
+      params['w4'].astype(dtype))
 
     # Channel attention on per-frame means (reference CALayer2,
     # gshift_deblur1.py:71-87) — tiny, plain XLA.

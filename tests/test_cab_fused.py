@@ -82,3 +82,31 @@ def test_depthwise_repconv_variant():
     got = fused.apply(p, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_mid_ca_denoise_variant():
+    """Denoise-variant CAB (mid CALayer2, biased projection) fused vs XLA."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 16)), jnp.float32)
+    kw = dict(kernel_size=5, reduction=4, mid_ca=True, last_bias=True)
+    ref = CAB1(16, fused=False, **kw)
+    p = _randomize(ref.init(jax.random.PRNGKey(1), x))
+    fused = CAB1(16, fused=True, **kw)
+    assert (jax.tree.structure(p) ==
+            jax.tree.structure(fused.init(jax.random.PRNGKey(1), x)))
+    want = ref.apply(p, x)
+    got = fused.apply(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_mid_ca_shift_block():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((3, 16, 16, 16)), jnp.float32)
+    kw = dict(rounds=2, mid_ca=True, last_bias=True)
+    ref = EncoderShiftBlock(16, fused=False, **kw)
+    p = _randomize(ref.init(jax.random.PRNGKey(1), x))
+    want = ref.apply(p, x)
+    got = EncoderShiftBlock(16, fused=True, **kw).apply(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-5)
