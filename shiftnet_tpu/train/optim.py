@@ -111,21 +111,31 @@ def psnr_loss(pred, target):
 
 def hem_loss(pred, target, *, hard_thre_p: float = 0.5, random_thre_p: float = 0.1,
              rng: jax.Array | None = None):
-    """Hard-example-mining L1 (``basicsr/loss/hard_example_mining.py:14-47``):
-    L1 masked to the top-``hard_thre_p`` residuals per image plus a
-    ``random_thre_p`` random mask."""
+    """Hard-example-mining L1 (``basicsr/loss/hard_example_mining.py:14-47``).
+
+    Reference semantics: the per-PIXEL residual (|x-y| summed over channels)
+    is thresholded at the value ranked ``hard_thre_p*h*w`` (descending,
+    strictly greater), an exactly-``random_thre_p*h*w``-pixel random mask is
+    OR-ed in, and the loss is the plain mean of |x-y| * mask over ALL
+    elements (nn.L1Loss on masked tensors).  pred/target: (..., H, W, C);
+    leading dims are the mask batch (frames-as-batch in the reference).
+    """
     err = jnp.abs(pred - target)
-    # per-image threshold at quantile (1 - hard_thre_p) over pixel residuals
-    flat = err.reshape(err.shape[0], -1)
-    thre = jnp.quantile(flat, 1.0 - hard_thre_p, axis=1)
-    hard_mask = (flat >= thre[:, None]).astype(err.dtype)
-    if rng is not None:
-        rand_mask = (jax.random.uniform(rng, flat.shape) < random_thre_p
-                     ).astype(err.dtype)
-        mask = jnp.clip(hard_mask + rand_mask, 0.0, 1.0)
-    else:
-        mask = hard_mask
-    return jnp.sum(flat * mask) / (jnp.sum(mask) + 1e-12)
+    h, w, c = pred.shape[-3:]
+    res = jnp.sum(err, axis=-1)                       # (..., H, W)
+    flat = res.reshape(-1, h * w)
+    k = int(hard_thre_p * h * w)
+    sorted_desc = -jnp.sort(-flat, axis=1)
+    thre = sorted_desc[:, k]
+    mask = flat > thre[:, None]
+    if rng is not None and random_thre_p > 0:
+        k2 = int(random_thre_p * h * w)
+        if k2 > 0:
+            rand = jax.random.uniform(rng, flat.shape)
+            cutoff = jnp.sort(rand, axis=1)[:, k2 - 1]
+            mask = mask | (rand <= cutoff[:, None])
+    mask = mask.astype(err.dtype).reshape(res.shape)[..., None]
+    return jnp.mean(err * mask)
 
 
 _LOSS_FNS: dict[str, Callable] = {
