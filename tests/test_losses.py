@@ -36,8 +36,8 @@ def test_hem_random_mask_count():
     assert loss0 == 0.0  # no pixel strictly exceeds the threshold
     loss_r = float(hem_loss(jnp.asarray(x), jnp.asarray(y),
                             rng=jax.random.PRNGKey(0)))
-    # exactly 10% of pixels masked, residual 1 everywhere -> mean = 0.1
-    assert abs(loss_r - 0.1) < 1e-3
+    # exactly int(0.1*256)=25 of 256 pixels masked, residual 1 everywhere
+    assert abs(loss_r - 25 / 256) < 1e-6
 
 
 def test_loss2_spec():
