@@ -11,6 +11,7 @@ HBM (the A100s the reference ran on have 40-80 GB).  bf16 compute.  fps =
 predicted output frames per wall-clock second, steady state.
 """
 import json
+import os
 import time
 
 import jax
@@ -24,12 +25,14 @@ def main():
     from shiftnet_tpu.models import build_model, init_params
     from shiftnet_tpu.eval.window import half_slices
 
-    one_len = 36          # frames predicted per window
+    # Env knobs for perf sweeps; defaults are the shipping configuration.
+    one_len = int(os.environ.get('SHIFTNET_BENCH_ONELEN', '36'))
+    fused = os.environ.get('SHIFTNET_BENCH_FUSED', '1') == '1'
     halo = 2
     h, w = 720, 1280
     t = one_len + 2 * halo
 
-    model = build_model('deblur_plus', dtype=jnp.bfloat16,
+    model = build_model('deblur_plus', dtype=jnp.bfloat16, fused_cab=fused,
                         past_frames=halo, future_frames=halo)
     rng = jax.random.PRNGKey(0)
     video = jax.random.uniform(rng, (t, h, w, 3), jnp.bfloat16)
