@@ -71,8 +71,13 @@ class PrefetchLoader:
         if not self._started:
             self._thread.start()
             self._started = True
-        while True:
-            yield self._q.get()
+        # Poll with a timeout so a concurrent stop() can never leave the
+        # consumer blocked on an empty queue after the producer exits.
+        while not self._stop.is_set():
+            try:
+                yield self._q.get(timeout=1.0)
+            except queue.Empty:
+                continue
 
     def stop(self):
         self._stop.set()

@@ -3,9 +3,9 @@
 Surface parity with the reference ``basicsr/metrics/niqe.py``: MSCN
 normalization, AGGD feature fits over 96x96 blocks at two scales, Mahalanobis
 distance to a pristine multivariate Gaussian.  The pristine-model statistics
-(``niqe_pris_params.npz`` from the official NIQE release) are loaded at
-runtime — set ``SHIFTNET_NIQE_PARAMS`` or pass ``params_path``; the file is
-third-party data and is not vendored in this repo.
+(``niqe_pris_params.npz``, public data from the official NIQE release) are
+vendored in ``eval/data/``; override via ``SHIFTNET_NIQE_PARAMS`` or
+``params_path``.
 """
 from __future__ import annotations
 
@@ -79,14 +79,18 @@ def niqe_core(img: np.ndarray, mu_pris: np.ndarray, cov_pris: np.ndarray,
     mu_dist = np.nanmean(feats, axis=0)
     cov_dist = np.cov(feats[~np.isnan(feats).any(axis=1)], rowvar=False)
     invcov = np.linalg.pinv((cov_pris + cov_dist) / 2)
-    d = mu_pris - mu_dist
+    d = np.asarray(mu_pris - mu_dist).reshape(-1)
     return float(np.sqrt(d @ invcov @ d))
 
 
+_VENDORED = os.path.join(os.path.dirname(__file__), 'data',
+                         'niqe_pris_params.npz')
+
+
 def load_pris_params(params_path: str | None = None):
-    path = params_path or os.environ.get(
-        'SHIFTNET_NIQE_PARAMS',
-        '/root/reference/basicsr/metrics/niqe_pris_params.npz')
+    """Pristine-model statistics (mu/cov/window) from the official NIQE
+    release — vendored data file, overridable via SHIFTNET_NIQE_PARAMS."""
+    path = params_path or os.environ.get('SHIFTNET_NIQE_PARAMS', _VENDORED)
     if not os.path.exists(path):
         raise FileNotFoundError(
             'NIQE pristine-model statistics not found; set '

@@ -46,15 +46,25 @@ class EvalLogger:
 
 class Evaluator:
     def __init__(self, variant: str, params, *, result_path: str = 'results',
-                 halo: int = 2, bf16: bool = True, save_images: bool = False):
-        cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo)
+                 halo: int = 2, bf16: bool | None = None,
+                 save_images: bool = False, overrides: dict | None = None):
+        if bf16 is None:
+            # Match the reference eval precisions: fp16 for deblur and
+            # denoise-small (``test_deblur.py:86``, ``test_denoise_small.py:85``)
+            # -> bf16 here; fp32 for denoise-big (``test_denoise.py:85`` — no
+            # ``.half()``), where the sigma=10 PSNR regime is most fragile.
+            bf16 = variant != 'denoise_plus'
+        overrides = overrides or {}
+        cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo,
+                                       **overrides)
         self.cfg = cfg
         self.halo = halo
         self.save_images = save_images
         self.result_path = result_path
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.model = build_model(variant, dtype=dtype,
-                                 past_frames=halo, future_frames=halo)
+                                 past_frames=halo, future_frames=halo,
+                                 **overrides)
         self.params = params
         self.dtype = dtype
         self._jit_cache: dict[tuple, Any] = {}
@@ -71,9 +81,40 @@ class Evaluator:
             self._jit_cache[shape] = fn
         return self._jit_cache[shape]
 
+    def forward_grids(self, x, sigma: float | None = None, *,
+                      crop_size: int = 256, trans_num: int = 1) -> np.ndarray:
+        """Overlap-averaged crop tiling with rot/flip TTA — the reference's
+        validation protocol (``image_restoration_model.py:161-252``:
+        ``grids`` -> per-crop forward -> ``grids_inverse``).
+
+        x: (T, H, W, 3) clip in [0,1]; returns (T - 2*halo, H, W, 3) f32.
+        """
+        from shiftnet_tpu.eval.grids import (extract_grids, merge_grids,
+                                             plan_grids)
+        x = np.asarray(x, np.float32)
+        t, h, w, _ = x.shape
+        cs = min(crop_size, h, w)
+        plans = plan_grids(h, w, cs, trans_num)
+        preds = []
+        for part in extract_grids(x, plans, cs):
+            xt = jnp.asarray(np.ascontiguousarray(part), self.dtype)
+            if self.cfg.noise_map:
+                assert sigma is not None, 'denoise grids needs sigma'
+                nm = jnp.full(xt.shape[:3] + (1,), sigma, self.dtype)
+                o = self._forward(xt.shape)(self.params, xt, nm)
+            else:
+                o = self._forward(xt.shape)(self.params, xt)
+            preds.append(np.asarray(o.astype(jnp.float32)))
+        out_shape = (t - 2 * self.halo, h, w, 3)
+        return merge_grids(preds, plans, out_shape, cs)
+
     # -- deblur ------------------------------------------------------------
-    def eval_deblur(self, data_path: str, one_len: int = 48) -> dict:
-        """Protocol of ``test_deblur.py:91-177``; returns summary metrics."""
+    def eval_deblur(self, data_path: str, one_len: int = 48, *,
+                    grids: bool = False, crop_size: int = 256,
+                    trans_num: int = 1) -> dict:
+        """Protocol of ``test_deblur.py:91-177``; returns summary metrics.
+        ``grids=True`` switches the per-chunk forward to the reference's
+        validation tiling + TTA (``forward_grids``)."""
         input_root = os.path.join(data_path, 'blur')
         gt_root = os.path.join(data_path, 'gt')
         videos = sorted(os.listdir(input_root))
@@ -91,7 +132,10 @@ class Evaluator:
                 x = jnp.asarray(inp, self.dtype) / 255.0
                 t1 = time.time()
                 tt, hh, ww, _ = x.shape
-                if tt * hh * ww > 22_000_000:
+                if grids:
+                    out = self.forward_grids(x, crop_size=crop_size,
+                                             trans_num=trans_num)
+                elif tt * hh * ww > 22_000_000:
                     # Window exceeds the single-chip HBM envelope: stitch
                     # half-height tiles (reference quadrant-tiling analog,
                     # test_denoise.py:153-173).
@@ -119,7 +163,8 @@ class Evaluator:
 
     # -- denoise -----------------------------------------------------------
     def eval_denoise(self, data_path: str, sigma: float, *,
-                     tile: bool = True, seed: int = 0) -> dict:
+                     tile: bool = True, seed: int = 0, grids: bool = False,
+                     crop_size: int = 256, trans_num: int = 1) -> dict:
         """Protocol of ``test_denoise.py:91-224``: GT-only videos, gaussian
         noise at fixed sigma, 4-quadrant tiled forward, PSNR/SSIM vs GT."""
         gt_root = data_path
@@ -138,7 +183,10 @@ class Evaluator:
                 noisy = clean + rng.normal(0, s, clean.shape).astype(np.float32)
                 t, h, w, _ = noisy.shape
                 t1 = time.time()
-                if tile:
+                if grids:
+                    out = self.forward_grids(noisy, s, crop_size=crop_size,
+                                             trans_num=trans_num)
+                elif tile:
                     out = np.zeros((t - 2 * self.halo, h, w, 3), np.float32)
                     for in_sl, crop_sl, out_sl in quadrant_slices(h, w):
                         xt = jnp.asarray(

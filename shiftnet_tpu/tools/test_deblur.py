@@ -32,14 +32,22 @@ def main():
     ap.add_argument('--save_image', action='store_true')
     ap.add_argument('--profile', default=None,
                     help='capture a jax.profiler trace to this dir')
+    ap.add_argument('--grids', action='store_true',
+                    help='validation-style overlap-averaged crop tiling '
+                         '(reference image_restoration_model.py:161-252)')
+    ap.add_argument('--crop_size', type=int, default=256)
+    ap.add_argument('--trans_num', type=int, default=1,
+                    help='number of rot/flip TTA transforms per crop (1-8)')
     args = ap.parse_args()
 
     params = load_params(args.variant, args.model_path, halo=2)
     ev = Evaluator(args.variant, params, result_path=args.result_path,
-                   bf16=not args.fp32, save_images=args.save_image)
+                   bf16=False if args.fp32 else None, save_images=args.save_image)
     from shiftnet_tpu.utils.profiling import trace
     with trace(args.profile):
-        res = ev.eval_deblur(args.data_path, one_len=args.one_len)
+        res = ev.eval_deblur(args.data_path, one_len=args.one_len,
+                             grids=args.grids, crop_size=args.crop_size,
+                             trans_num=args.trans_num)
     print(res)
 
 

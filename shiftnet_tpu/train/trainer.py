@@ -172,16 +172,27 @@ class Trainer:
         """Windowed-eval validation on a held-out video folder (optional;
         the reference ships with this loop disabled — train1.py:253-260)."""
         from shiftnet_tpu.eval.runner import Evaluator
-        ev = Evaluator(self.opt['model'], self.state.params,
-                       result_path=os.path.join(
-                           self.opt['path']['log'], f'val_{it}'),
-                       bf16=self.opt.get('bf16', True))
+        # One Evaluator for the whole run: its per-shape jit cache makes
+        # every validation after the first compile-free.
+        if getattr(self, '_validator', None) is None:
+            self._validator = Evaluator(
+                self.opt['model'], self.state.params,
+                result_path=os.path.join(self.opt['path']['log'], 'val'),
+                bf16=self.opt.get('bf16', True))
+        ev = self._validator
+        ev.params = self.state.params
+        # reference validation options: grids tiling + rot/flip TTA
+        # (image_restoration_model.py:161-252, val.grids / val.crop_size)
+        gkw = dict(grids=bool(val_cfg.get('grids', False)),
+                   crop_size=int(val_cfg.get('crop_size', 256)),
+                   trans_num=int(val_cfg.get('trans_num', 1)))
         if self.task.kind == 'denoise':
             res = ev.eval_denoise(val_cfg['dir_data'],
-                                  float(val_cfg.get('sigma', 10.0)))
+                                  float(val_cfg.get('sigma', 10.0)), **gkw)
         else:
             res = ev.eval_deblur(val_cfg['dir_data'],
-                                 one_len=int(val_cfg.get('one_len', 16)))
+                                 one_len=int(val_cfg.get('one_len', 16)),
+                                 **gkw)
         self.logger.info(
             f"[val @ {it}] PSNR {res['psnr']:.4f} SSIM {res['ssim']:.5f}")
 

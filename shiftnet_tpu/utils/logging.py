@@ -32,6 +32,45 @@ def get_logger(name: str = 'shiftnet', log_file: str | None = None,
     return logger
 
 
+def init_wandb(opt: dict, logger: logging.Logger | None = None):
+    """Weights & Biases run init with TensorBoard sync, mirroring the
+    reference ``init_wandb_logger`` (``basicsr/utils/logger.py:92-116``):
+    resumes the run id from ``logger.wandb.resume_id`` when set, otherwise
+    starts a fresh run.  Gracefully a no-op when wandb isn't installed or no
+    project is configured.
+
+    Config surface (same keys as the reference yml)::
+
+        logger:
+          wandb:
+            project: my-project
+            resume_id: ~
+    """
+    wcfg = (opt.get('logger') or {}).get('wandb') or {}
+    project = wcfg.get('project')
+    if not project:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        if logger:
+            logger.warning('wandb requested in config but not installed; '
+                           'skipping wandb logging')
+        return None
+    resume_id = wcfg.get('resume_id')
+    if resume_id:
+        run = wandb.init(id=resume_id, resume='allow', name=opt.get('name'),
+                         config=opt, project=project, sync_tensorboard=True)
+        if logger:
+            logger.warning(f'Resume wandb logger with id={resume_id}.')
+    else:
+        run = wandb.init(name=opt.get('name'), config=opt, project=project,
+                         sync_tensorboard=True)
+    if logger:
+        logger.info(f'Use wandb logger with id={run.id}; project={project}.')
+    return run
+
+
 class TrainLogger:
     """Formats per-iteration training messages with lr/eta/losses and pushes
     scalars to TensorBoard if available."""

@@ -24,6 +24,47 @@ def test_plan_covers_frame():
         assert (cover >= 1).all(), (h, w, c)
 
 
+def test_forward_grids_full_crop_matches_direct():
+    """Evaluator.forward_grids with a frame-covering crop and identity
+    transform must equal the direct model forward (the validation wiring
+    end-to-end, minus tiling effects)."""
+    import jax
+    import jax.numpy as jnp
+    from shiftnet_tpu.eval.runner import Evaluator
+    from shiftnet_tpu.models import build_model, init_params
+
+    cpu = jax.devices('cpu')[0]
+    jax.config.update('jax_default_device', cpu)
+    try:
+        tiny = dict(n_feats0=8, n_feats2=16, num_orbs=1, tfr_scale=4,
+                    shift_rounds=1, encoder2_levels=2)
+        halo = 1
+        model = build_model('deblur_small', past_frames=halo,
+                            future_frames=halo, **tiny)
+        rng = np.random.default_rng(5)
+        clip = rng.uniform(0, 1, (4, 24, 24, 3)).astype(np.float32)
+        params = init_params(model, jnp.asarray(clip))
+        want = np.asarray(model.apply({'params': params},
+                                      jnp.asarray(clip)), np.float32)
+
+        ev = Evaluator.__new__(Evaluator)  # skip logger/file setup
+        ev.cfg = model.cfg
+        ev.halo = halo
+        ev.model = model
+        ev.params = params
+        ev.dtype = jnp.float32
+        ev._jit_cache = {}
+        got = ev.forward_grids(clip, crop_size=64, trans_num=1)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+        # 8-transform TTA through the same path: finite, right shape
+        tta = ev.forward_grids(clip, crop_size=8, trans_num=8)
+        assert tta.shape == want.shape
+        assert np.isfinite(tta).all()
+    finally:
+        jax.config.update('jax_default_device', None)
+
+
 def test_identity_model_roundtrip_with_tta():
     rng = np.random.default_rng(1)
     clip = rng.uniform(0, 1, (3, 70, 90, 3)).astype(np.float32)

@@ -130,10 +130,11 @@ def test_forward_parity(name):
 
 @pytest.mark.parametrize('name', list(CONFIGS))
 def test_param_count(name):
-    """Param totals should match the reference scale (BASELINE.md: 12.3M /
-    4.1M / 12.7M / 3.7M for deblur+/deblur-s/denoise+/denoise-s)."""
-    targets = {'deblur_plus': 12.3e6, 'deblur_small': 4.1e6,
-               'denoise_plus': 12.7e6, 'denoise_small': 3.7e6}
+    """Exact parameter totals (key-set equality vs the recorded torch
+    state_dict is asserted in test_converter; this pins the sizes too).
+    Reference scale per BASELINE.md: 12.3M / 4.1M / 12.7M / 3.7M."""
+    targets = {'deblur_plus': 12_994_901, 'deblur_small': 4_219_169,
+               'denoise_plus': 13_381_638, 'denoise_small': 3_772_008}
     cfg = CONFIGS[name]
     model = build_model(name)
     t, h, w = 5, 32, 32
@@ -143,5 +144,5 @@ def test_param_count(name):
         lambda: model.init(jax.random.PRNGKey(0), x, nm) if nm is not None
         else model.init(jax.random.PRNGKey(0), x))
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    assert abs(n - targets[name]) / targets[name] < 0.06, (
-        f'{name}: {n / 1e6:.2f}M params vs expected {targets[name] / 1e6}M')
+    assert n == targets[name], (
+        f'{name}: {n} params vs expected {targets[name]}')
