@@ -55,6 +55,7 @@ class GShiftNetConfig:
     past_frames: int = 1            # num_fb (0 denoise train, 2 deblur test)
     future_frames: int = 1          # num_ff
     fused_cab: bool = False         # fused Pallas shift-block CABs (inference)
+    fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
 
     @property
     def noise_map(self) -> bool:
@@ -209,10 +210,17 @@ class GShiftNet(nn.Module):
         x0 = CAB(nf0, kernel_size=3, reduction=cfg.ca_reduction,
                  dtype=self.dtype, name='feat_extract__1')(x0)
 
-        # stage0: per-frame TFR U-Nets (gshift_deblur1.py:762-770).
-        y = x0
+        # stage0: per-frame TFR U-Nets (gshift_deblur1.py:762-770).  The
+        # fused path converts to the packed CHW layout ONCE around the whole
+        # orb chain (ops/chw.py docstring: why NHWC is 2.7-5.3x HBM-padded
+        # at these widths).
+        from shiftnet_tpu.ops import chw
+        use_chw = cfg.fused_tfr and chw.tfr_shapes_ok(x.shape[1], x.shape[2])
+        y = chw.from_nhwc(x0, padr=2, pf=4) if use_chw else x0
         for i in range(cfg.num_orbs):
             y = TFRUNet(nf0, name=f'orb{i + 1}', **tfr_kw)(y)
+        if use_chw:
+            y = chw.to_nhwc(y)
         sam_features0 = y + x0 if cfg.stage_residual else y
         sam_features = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                               name='conv_trans')(sam_features0)
@@ -229,8 +237,12 @@ class GShiftNet(nn.Module):
         if cfg.rconcat_act:
             z = PReLU(dtype=self.dtype, name='lrelu')(z)
         shortcut2 = z
+        if use_chw:
+            z = chw.from_nhwc(z, padr=2, pf=4)
         for i in range(cfg.num_orbs):
             z = TFRUNet(nf0, name=f'rorb{i + 1}', **tfr_kw)(z)
+        if use_chw:
+            z = chw.to_nhwc(z)
         if cfg.stage_residual:
             z = z + shortcut2
         z = Conv2d(3, cfg.conv_last_ks, use_bias=False, dtype=self.dtype,

@@ -517,7 +517,14 @@ class PixelShufflePack(nn.Module):
 
 class TFRUNet(nn.Module):
     """``TFR_UNet`` (``gshift_deblur1.py:681-722``): tiny per-frame 3-level
-    U-Net of plain CABs; purely spatial (no temporal mixing)."""
+    U-Net of plain CABs; purely spatial (no temporal mixing).
+
+    Accepts either an NHWC array (layer-by-layer XLA path) or a packed
+    ``ChwTensor`` (fused Pallas path, ``ops/chw.py``): the fused branch
+    declares the identical parameter tree by tracing the XLA body on a
+    dummy clip, then runs the packed-kernel pipeline on the raw params —
+    both paths share one checkpoint/converter layout.
+    """
     n_feat0: int
     kernel_size: int = 3
     reduction: int = 4
@@ -528,6 +535,17 @@ class TFRUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw
+        if isinstance(x, chw.ChwTensor):
+            dummy = jnp.zeros((1, 4, 4, self.n_feat0), self.dtype)
+            self._body(dummy)  # declare the full (torch-named) param tree
+            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            return chw.tfr_unet_chw(
+                params, x, reduction=self.reduction,
+                downsample_prelu=self.downsample_prelu)
+        return self._body(x)
+
+    def _body(self, x):
         c0 = self.n_feat0
         c1 = c0 + self.scale_unetfeats
         c2 = c0 + 2 * self.scale_unetfeats

@@ -57,70 +57,90 @@ def row_stride(w: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ChwTensor:
-    """(T, C, LP) flat NCHW activation; see module docstring for layout."""
+    """(T, P*P*cb, LP) flat NCHW activation, optionally space-to-depth
+    packed.
+
+    ``pf`` is the per-axis phase factor: logical pixel (R, X) lives on grid
+    cell (R // pf, X // pf) in channel block ``p = (R % pf) * pf + (X % pf)``
+    (sublanes ``[p*cb, p*cb + c)``; ``cb = cpad16(c)`` with zero pad rows so
+    tap stores stay 16-aligned).  ``pf=1`` is the plain flat layout.  s2d
+    packing is what makes stride-2 convs and 2x upsamples expressible as
+    stride-1 phase-block convs — Mosaic has no strided lane access, so a
+    flat layout cannot deinterleave columns (measured: XLA's flat
+    lane-deinterleave is a 12 GB/s gather).
+    """
     data: jax.Array
-    h: int
-    w: int
-    padr: int
+    h: int            # logical image height
+    w: int            # logical image width
+    padr: int         # zero pad rows (grid cells) above/below the image
+    pf: int = 1       # per-axis phase factor (1, 2 or 4)
+    c: int = -1       # logical channels (-1: data.shape[1], pf=1 only)
+
+    def __post_init__(self):
+        if self.c == -1:
+            assert self.pf == 1
+            self.c = self.data.shape[1]
 
     @property
     def t(self) -> int:
         return self.data.shape[0]
 
     @property
-    def c(self) -> int:
-        return self.data.shape[1]
+    def cb(self) -> int:
+        # pf=1 keeps channels unpadded in HBM (the flat kernels pad only
+        # their VMEM slabs); packed layouts pad per phase block so tap
+        # slices land at 16-aligned sublane offsets.
+        return self.c if self.pf == 1 else cpad16(self.c)
+
+    @property
+    def gh(self) -> int:
+        return self.h // self.pf
+
+    @property
+    def gw(self) -> int:
+        return self.w // self.pf
 
     @property
     def ws(self) -> int:
-        return row_stride(self.w)
+        return row_stride(self.gw)
 
     def tree_flatten(self):
-        return (self.data,), (self.h, self.w, self.padr)
+        return (self.data,), (self.h, self.w, self.padr, self.pf, self.c)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
 
-def flat_len(h: int, w: int, padr: int) -> int:
-    return (h + 2 * padr) * row_stride(w) + TAIL
+def flat_len(gh: int, gw: int, padr: int) -> int:
+    return (gh + 2 * padr) * row_stride(gw) + TAIL
 
 
-def from_nhwc(x: jax.Array, padr: int = 2) -> ChwTensor:
-    """(T, H, W, C) -> ChwTensor.  One XLA transpose + pad (entry cost)."""
+def from_nhwc(x: jax.Array, padr: int = 2, pf: int = 1) -> ChwTensor:
+    """(T, H, W, C) -> ChwTensor (s2d-packed when pf > 1).  One XLA
+    transpose + pad (stage-entry cost only)."""
     t, h, w, c = x.shape
-    ws = row_stride(w)
-    y = jnp.transpose(x, (0, 3, 1, 2))                      # (T, C, H, W)
-    y = jnp.pad(y, ((0, 0), (0, 0), (padr, padr), (0, ws - w)))
-    y = y.reshape(t, c, (h + 2 * padr) * ws)
+    assert h % pf == 0 and w % pf == 0, (h, w, pf)
+    gh, gw = h // pf, w // pf
+    ws = row_stride(gw)
+    cb = c if pf == 1 else cpad16(c)
+    y = x.reshape(t, gh, pf, gw, pf, c)
+    y = jnp.transpose(y, (0, 2, 4, 5, 1, 3))     # (T, a, b, C, gh, gw)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, cb - c), (padr, padr),
+                    (0, ws - gw)))
+    y = y.reshape(t, pf * pf * cb, (gh + 2 * padr) * ws)
     y = jnp.pad(y, ((0, 0), (0, 0), (0, TAIL)))
-    return ChwTensor(y, h, w, padr)
+    return ChwTensor(y, h, w, padr, pf, c)
 
 
 def to_nhwc(x: ChwTensor) -> jax.Array:
-    t, c, _ = x.data.shape
-    ws = x.ws
-    y = x.data[:, :, : (x.h + 2 * x.padr) * ws]
-    y = y.reshape(t, c, x.h + 2 * x.padr, ws)
-    y = y[:, :, x.padr: x.padr + x.h, : x.w]
-    return jnp.transpose(y, (0, 2, 3, 1))
-
-
-def repad(x: ChwTensor, padr: int) -> ChwTensor:
-    """Change the pad-row count (XLA copy; only at stage boundaries)."""
-    if padr == x.padr:
-        return x
-    t, c, _ = x.data.shape
-    ws = x.ws
-    y = x.data[:, :, : (x.h + 2 * x.padr) * ws]
-    y = y.reshape(t, c, x.h + 2 * x.padr, ws)
-    y = y[:, :, x.padr: x.padr + x.h]
-    y = jnp.pad(y, ((0, 0), (0, 0), (padr, padr), (0, 0)))
-    return ChwTensor(
-        jnp.pad(y.reshape(t, c, (x.h + 2 * padr) * ws), ((0, 0), (0, 0),
-                                                         (0, TAIL))),
-        x.h, x.w, padr)
+    t = x.data.shape[0]
+    pf, cb, ws = x.pf, x.cb, x.ws
+    y = x.data[:, :, : (x.gh + 2 * x.padr) * ws]
+    y = y.reshape(t, pf, pf, cb, x.gh + 2 * x.padr, ws)
+    y = y[:, :, :, : x.c, x.padr: x.padr + x.gh, : x.gw]
+    y = jnp.transpose(y, (0, 4, 1, 5, 2, 3))     # (T, gh, a, gw, b, C)
+    return y.reshape(t, x.h, x.w, x.c)
 
 
 def cpad16(c: int) -> int:
@@ -348,8 +368,10 @@ def _interpret() -> bool:
 
 def cab_chw(x: ChwTensor, params: dict[str, Any], *,
             reduction: int, interpret: bool | None = None) -> ChwTensor:
-    """Fused plain CAB on a ChwTensor.  ``params``: flax CAB subtree
-    (body__0/body__1/body__2/CA with torch-mirrored names)."""
+    """Fused plain CAB on a ChwTensor (flat or s2d-packed).  ``params``:
+    flax CAB subtree (body__0/body__1/body__2/CA, torch-mirrored names)."""
+    if x.pf > 1:
+        return _cab_chw_s2d(x, params, interpret=interpret)
     if interpret is None:
         interpret = _interpret()
     t, c, lp = x.data.shape
@@ -419,6 +441,180 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
     return ChwTensor(out, h, w, padr)
 
 
+# ---------------------------------------------------------------------------
+# Phase (space-to-depth) machinery: stride-s KxK convs over packed layouts.
+# ---------------------------------------------------------------------------
+
+
+def phase_taps(pf_in: int, pf_out: int, k: int, stride: int, pad: int):
+    """Per-output-phase tap table for a conv evaluated on a packed layout.
+
+    Output phase (a, b) of a stride-``stride`` KxK conv reads logical input
+    position ``stride*(pf_out*u + a) + d - pad`` = cell ``u + cd``, input
+    phase ``ph`` with ``(cd, ph) = divmod(stride*a + d - pad, pf_in)``.
+    Returns {(a, b): [(block, cdr, cdc)] in (dy, dx) row-major order} — the
+    weights-lhs column order is (dy, dx, ci), identical for every phase, so
+    one ``conv_lhs`` matrix serves all phases.
+    """
+    assert stride * pf_out == pf_in or (pf_in == pf_out and stride == 1)
+    table = {}
+    for a in range(pf_out):
+        for b in range(pf_out):
+            entries = []
+            for dy in range(k):
+                cdr, phr = divmod(stride * a + dy - pad, pf_in)
+                for dx in range(k):
+                    cdc, phc = divmod(stride * b + dx - pad, pf_in)
+                    entries.append((phr * pf_in + phc, cdr, cdc))
+            table[(a, b)] = entries
+    return table
+
+
+def _phase_conv(vals, pbuf, base, n_cells, ws, gw, cb, taps, lhs, masked,
+                col):
+    """One output phase of a packed conv: assemble the k*k tap stack from
+    (block, cell-offset) slices of ``vals`` and run one weights-lhs matmul.
+
+    ``vals``: (P*P*cb, L) slab values; lane ``base + j*ws + v`` of block
+    rows is grid cell (j, v) relative to the slab.  Cell-column-crossing
+    taps (cdc != 0) are masked when the layout has no slack columns.
+    """
+    m = n_cells * ws
+    acc = None
+    kk = len(taps)
+    for i, (blk, cdr, cdc) in enumerate(taps):
+        piece = jax.lax.slice(
+            vals, (blk * cb, base + cdr * ws + cdc),
+            ((blk + 1) * cb, base + cdr * ws + cdc + m))
+        if masked and cdc != 0:
+            ok = (col[:, :m] + cdc >= 0) & (col[:, :m] + cdc < gw)
+            piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+        pbuf[pl.ds(i * cb, cb), pl.ds(0, m)] = piece
+    out = jax.lax.dot_general(
+        lhs, pbuf[pl.ds(0, kk * cb), pl.ds(0, m)], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out  # (C_out, m) f32
+
+
+def _lookahead_dma(x_hbm, xbuf, sem, g, total, n_tiles, th, halo_cells,
+                   ws, padr, n_ch):
+    """2-slot DMA lookahead over a (T, n_tiles) grid: program g's slab was
+    started by program g-1; start g+1's before waiting.  The slab covers
+    grid cells [hi*th - halo_cells, hi*th + th + halo_cells) (in-bounds
+    because padr >= halo_cells); slot buffers carry a LANE lead/tail slack
+    that program 0 zeroes (along with channel pad rows)."""
+    rows = th + 2 * halo_cells
+
+    def start(gg, sl):
+        hi2 = jax.lax.rem(gg, n_tiles)
+        lane0 = (hi2 * th + padr - halo_cells) * ws
+        pltpu.make_async_copy(
+            x_hbm.at[gg // n_tiles, :, pl.ds(lane0, rows * ws)],
+            xbuf.at[sl, pl.ds(0, n_ch), pl.ds(LANE, rows * ws)],
+            sem.at[sl]).start()
+
+    @pl.when(g == 0)
+    def _():
+        xbuf[...] = jnp.zeros_like(xbuf)
+        start(0, 0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start(g + 1, jax.lax.rem(g + 1, 2))
+
+    slot = jax.lax.rem(g, 2)
+    pltpu.make_async_copy(
+        x_hbm.at[0, :, pl.ds(0, rows * ws)],
+        xbuf.at[slot, pl.ds(0, n_ch), pl.ds(LANE, rows * ws)],
+        sem.at[slot]).wait()
+    return slot
+
+
+def _emit_tile(out_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh):
+    """Write a (C, th*ws) tile into a padded-layout output, zeroing the pad
+    rows + tail on the first/last row-tile programs."""
+    out = pltpu.make_async_copy(
+        obuf, out_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, th * ws)], osem)
+    out.start()
+
+    @pl.when(hi == 0)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf.at[:, pl.ds(0, padr * ws)],
+            out_hbm.at[ti, :, pl.ds(0, padr * ws)], zsem)
+        zp.start()
+        zp.wait()
+
+    @pl.when(hi == n_tiles - 1)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf, out_hbm.at[ti, :, pl.ds((padr + gh) * ws, zbuf.shape[1])],
+            zsem)
+        zp.start()
+        zp.wait()
+
+    out.wait()
+
+
+def _cab_front_s2d_kernel(x_hbm, w1, alpha, w2, s_ref, sums_ref, xbuf,
+                          y1buf, pbuf, sem, *, th, ws, gw, gh, c, cb, pf,
+                          padr, taps1, taps2, masked, dtype):
+    """Packed-layout conv3x3 -> PReLU -> conv3x3 (one cell-row halo
+    recompute), per output phase.  Same structure as the flat front kernel:
+    conv1 is computed on th+2 cell rows; its out-of-image cell rows are
+    re-zeroed (each reference conv zero-pads its own input)."""
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    g = ti * n_tiles + hi
+    slot = _lookahead_dma(x_hbm, xbuf, sem, g, pl.num_programs(0) * n_tiles,
+                          n_tiles, th, 2, ws, padr, pf * pf * cb)
+
+    @pl.when(g == 0)
+    def _():
+        y1buf[...] = jnp.zeros_like(y1buf)
+
+    m1 = (th + 2) * ws
+    m2 = th * ws
+    col = _col_index((th + 4) * ws, ws) if masked else None
+    a_s = alpha[0, 0].astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, m1), 1) // ws
+    cell_row = hi * th - 1 + ri
+    row_ok = (cell_row >= 0) & (cell_row < gh)
+    if masked:
+        y1ok = row_ok
+    else:
+        y1ok = row_ok & col_slack_ok(m1, ws, gw)
+
+    xvals = xbuf[slot]
+    for p, (a, b) in enumerate([(a, b) for a in range(pf) for b in range(pf)]):
+        y1 = _phase_conv(xvals, pbuf, LANE + ws, th + 2, ws, gw, cb,
+                         taps1[(a, b)], w1[...], masked, col)
+        y1 = jnp.maximum(y1, 0) + a_s * jnp.minimum(y1, 0)
+        y1 = jnp.where(y1ok, y1, jnp.zeros_like(y1)).astype(dtype)
+        y1buf[pl.ds(p * cb, c), pl.ds(LANE, m1)] = y1
+
+    y1vals = y1buf[...]
+    acc = None
+    for p, (a, b) in enumerate([(a, b) for a in range(pf) for b in range(pf)]):
+        y2 = _phase_conv(y1vals, pbuf, LANE + ws, th, ws, gw, cb,
+                         taps2[(a, b)], w2[...], masked, col)
+        s = y2.astype(dtype)
+        if not masked:
+            s = jnp.where(col_slack_ok(m2, ws, gw), s, jnp.zeros_like(s))
+        s_ref[0, pl.ds(p * cb, c)] = s
+        if cb != c:
+            s_ref[0, pl.ds(p * cb + c, cb - c)] = jnp.zeros(
+                (cb - c, m2), dtype)
+        part = jnp.sum(s.astype(jnp.float32), axis=1)
+        acc = part if acc is None else acc + part
+
+    pad = ((c + LANE - 1) // LANE) * LANE
+    vec = jnp.pad(acc.reshape(1, c), ((0, 0), (0, pad - c)))
+    sums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+
+
 def ca_mlp(sums: jax.Array, n_px: int, ca_params: dict, dtype) -> jax.Array:
     """CALayer attention weights from per-tile channel sums.
 
@@ -436,3 +632,439 @@ def ca_mlp(sums: jax.Array, n_px: int, ca_params: dict, dtype) -> jax.Array:
         z, du2.reshape(du2.shape[2], du2.shape[3]).astype(dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     return jax.nn.sigmoid(z.astype(dtype))
+
+
+def _phases(pf: int):
+    return [(a, b) for a in range(pf) for b in range(pf)]
+
+
+def pick_tile_s2d(gh: int, ws: int, pf: int, cb: int, c_out: int,
+                  budget: int = 11 * 1024 * 1024) -> int | None:
+    nch = pf * pf * cb
+    for th in (16, 12, 8, 6, 4, 3, 2):
+        if gh % th:
+            continue
+        m1 = (th + 2) * ws
+        need = (
+            2 * nch * (2 * LANE + (th + 4) * ws) * 2 +   # xbuf (2 slots)
+            nch * (2 * LANE + m1) * 2 +                  # y1buf
+            9 * cb * m1 * 2 +                            # pbuf
+            2 * c_out * m1 * 4 +                         # phase-conv f32
+            nch * th * ws * 2 +                          # s out block
+            m1 * 4 * 2                                   # col masks
+        )
+        if need < budget:
+            return th
+    return None
+
+
+def _expand_ca(ca: jax.Array, pf: int, c: int, cb: int) -> jax.Array:
+    """(T, C) logical channel scales -> (T, P*P*cb, 1) phase-tiled (zeros at
+    channel pad rows; safe because s pad rows are zeroed by the front)."""
+    t = ca.shape[0]
+    if pf == 1 and cb == c:
+        return ca.reshape(t, c, 1)
+    full = jnp.zeros((t, pf * pf, cb), ca.dtype)
+    full = full.at[:, :, :c].set(ca[:, None, :])
+    return full.reshape(t, pf * pf * cb, 1)
+
+
+def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
+              interpret: bool) -> ChwTensor:
+    """out = x + s * ca (phase-expanded), emitted in ChwTensor layout."""
+    t, nch, lp = x.data.shape
+    ws, gh, padr = x.ws, x.gh, x.padr
+    dtype = x.data.dtype
+    th = next(t2 for t2 in (32, 16, 8, 4, 2, 1)
+              if gh % t2 == 0 and
+              (3 * nch * t2 * ws + nch * (padr * ws + TAIL)) * 2
+              < 10 * 1024 * 1024)
+    n_tiles = gh // th
+    out = pl.pallas_call(
+        functools.partial(_cab_back_kernel, th=th, ws=ws, w=x.gw, c=nch,
+                          padr=padr, h=gh, dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((t, nch, lp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nch, th * ws), dtype),
+            pltpu.VMEM((nch, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x.data, s, _expand_ca(ca, x.pf, x.c, x.cb).astype(dtype))
+    return ChwTensor(out, x.h, x.w, padr, x.pf, x.c)
+
+
+def _cab_chw_s2d(x: ChwTensor, params: dict[str, Any],
+                 interpret: bool | None = None) -> ChwTensor:
+    if interpret is None:
+        interpret = _interpret()
+    t = x.t
+    pf, c, cb, ws, gw, gh, padr = x.pf, x.c, x.cb, x.ws, x.gw, x.gh, x.padr
+    assert padr >= 2, padr
+    dtype = x.data.dtype
+    nch = pf * pf * cb
+    th = pick_tile_s2d(gh, ws, pf, cb, c)
+    assert th is not None, (gh, ws, pf, cb)
+    n_tiles = gh // th
+    masked = (ws == gw)
+
+    w1 = conv_lhs(params['body__0']['conv']['kernel'], dtype)
+    alpha = params['body__1']['weight'].reshape(1, 1).astype(jnp.float32)
+    w2 = conv_lhs(params['body__2']['conv']['kernel'], dtype)
+    taps = phase_taps(pf, pf, 3, 1, 1)
+    cpad = ((c + LANE - 1) // LANE) * LANE
+
+    s, sums = pl.pallas_call(
+        functools.partial(_cab_front_s2d_kernel, th=th, ws=ws, gw=gw, gh=gh,
+                          c=c, cb=cb, pf=pf, padr=padr, taps1=taps,
+                          taps2=taps, masked=masked, dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, cpad), lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, nch, gh * ws), dtype),
+            jax.ShapeDtypeStruct((t, n_tiles, 8, cpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nch, 2 * LANE + (th + 4) * ws), dtype),
+            pltpu.VMEM((nch, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((9 * cb, (th + 2) * ws), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x.data, w1, alpha, w2)
+
+    ca = ca_mlp(sums[:, :, 0, :c], x.h * x.w, params['CA'], dtype)
+    return _run_back(x, s, ca, interpret)
+
+
+def _down_kernel(x_hbm, wlhs, bias, alpha, out_hbm, xbuf, pbuf, obuf, zbuf,
+                 sem, osem, zsem, *, th, ws, gw, gh, cb_in, pf_in, c_out,
+                 cb_out, pf_out, padr, taps, masked, use_bias, use_prelu,
+                 dtype):
+    """Stride-2 conv (phase-packed): pf_in -> pf_out = pf_in//2 on the same
+    grid.  Optional bias / PReLU (reference DownSample,
+    ``gshift_deblur1.py:330-340`` and denoise variant
+    ``gshift_denoise1.py:361-362``)."""
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    g = ti * n_tiles + hi
+    slot = _lookahead_dma(x_hbm, xbuf, sem, g, pl.num_programs(0) * n_tiles,
+                          n_tiles, th, 1, ws, padr, pf_in * pf_in * cb_in)
+
+    @pl.when(g == 0)
+    def _():
+        obuf[...] = jnp.zeros_like(obuf)
+        zbuf[...] = jnp.zeros_like(zbuf)
+
+    m = th * ws
+    col = _col_index((th + 2) * ws, ws) if masked else None
+    xvals = xbuf[slot]
+    for p, (a, b) in enumerate(_phases(pf_out)):
+        o = _phase_conv(xvals, pbuf, LANE + ws, th, ws, gw, cb_in,
+                        taps[(a, b)], wlhs[...], masked, col)
+        if use_bias:
+            o = o + bias[...].astype(jnp.float32)
+        if use_prelu:
+            a_s = alpha[0, 0].astype(jnp.float32)
+            o = jnp.maximum(o, 0) + a_s * jnp.minimum(o, 0)
+        o = o.astype(dtype)
+        if not masked:
+            o = jnp.where(col_slack_ok(m, ws, gw), o, jnp.zeros_like(o))
+        obuf[pl.ds(p * cb_out, c_out), :] = o
+    _emit_tile(out_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
+
+
+def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
+             with_prelu: bool = False,
+             interpret: bool | None = None) -> ChwTensor:
+    """Reference DownSample: stride-2 3x3 conv (+bias, or bias-free +
+    PReLU) on a packed layout.  Output phase factor halves; same grid."""
+    if interpret is None:
+        interpret = _interpret()
+    t = x.t
+    pf, cb, ws, gw, gh, padr = x.pf, x.cb, x.ws, x.gw, x.gh, x.padr
+    assert pf >= 2, pf
+    dtype = x.data.dtype
+    pf_out = pf // 2
+    cb_out = c_out if pf_out == 1 else cpad16(c_out)
+    nch_out = pf_out * pf_out * cb_out
+    masked = (ws == gw)
+
+    if with_prelu:
+        kern = params['down__0']['conv']['kernel']
+        bias = jnp.zeros((c_out, 1), jnp.float32)
+        alpha = params['down__1']['weight'].reshape(1, 1).astype(jnp.float32)
+        use_bias = False
+    else:
+        kern = params['down']['conv']['kernel']
+        bias = params['down']['conv']['bias'].reshape(c_out, 1)
+        alpha = jnp.zeros((1, 1), jnp.float32)
+        use_bias = True
+    wlhs = conv_lhs(kern, dtype)
+    taps = phase_taps(pf, pf_out, 3, 2, 1)
+
+    th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
+               (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * 2
+                + 9 * cb * t2 * ws * 2 + 2 * c_out * t2 * ws * 4
+                + 2 * nch_out * t2 * ws * 2) < 11 * 1024 * 1024), None)
+    assert th is not None
+    n_tiles = gh // th
+    lp = flat_len(gh, gw, padr)
+
+    out = pl.pallas_call(
+        functools.partial(_down_kernel, th=th, ws=ws, gw=gw, gh=gh,
+                          cb_in=cb, pf_in=pf, c_out=c_out, cb_out=cb_out,
+                          pf_out=pf_out, padr=padr, taps=taps,
+                          masked=masked, use_bias=use_bias,
+                          use_prelu=with_prelu, dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wlhs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((9 * cb, th * ws), dtype),
+            pltpu.VMEM((nch_out, th * ws), dtype),
+            pltpu.VMEM((nch_out, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x.data, wlhs, bias, alpha)
+    return ChwTensor(out, x.h // 2, x.w // 2, padr, pf_out, c_out)
+
+
+def _up_kernel(x_hbm, skip_hbm, w11, out_hbm, xbuf, sbuf, zbuf2, obuf,
+               zpad, sem, ssem, osem, zsem, *, th, ws, gw, gh, cb_in,
+               pf_in, c_out, cb_out, pf_out, padr, masked, dtype):
+    """SkipUpSample (``gshift_deblur1.py:341-351``): 1x1 conv (commuted
+    before the 2x bilinear — both are linear), bilinear up2x with torch
+    half-pixel weights (0.75/0.25) and edge clamping, plus skip add.
+
+    Packed layouts make the 2x upsample a pure phase expansion: out phase
+    (a, b) = separable blends of the 1x1-transformed input phases at cell
+    offsets {-1, 0, +1} — no lane interleaving.  Edge clamping == adding the
+    near-tap again where the neighbor falls outside the image (the clamped
+    neighbor equals the center there), applied via cell row/col masks.
+    """
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    g = ti * n_tiles + hi
+    slot = _lookahead_dma(x_hbm, xbuf, sem, g, pl.num_programs(0) * n_tiles,
+                          n_tiles, th, 1, ws, padr, pf_in * pf_in * cb_in)
+    scp = pltpu.make_async_copy(
+        skip_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, th * ws)], sbuf,
+        ssem)
+    scp.start()
+
+    @pl.when(g == 0)
+    def _():
+        zbuf2[...] = jnp.zeros_like(zbuf2)
+        zpad[...] = jnp.zeros_like(zpad)
+        obuf[...] = jnp.zeros_like(obuf)
+
+    m1 = (th + 2) * ws
+    m = th * ws
+    f32 = jnp.float32
+    xvals = xbuf[slot]
+    # 1x1 conv per input phase over the haloed slab (commuted: cheaper at
+    # low res, exactly equal since both ops are linear).
+    for p in range(pf_in * pf_in):
+        z = jax.lax.dot_general(
+            w11[...],
+            jax.lax.slice(xvals, (p * cb_in, LANE),
+                          ((p + 1) * cb_in, LANE + m1)),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        zbuf2[pl.ds(p * cb_out, c_out), pl.ds(LANE, m1)] = z.astype(dtype)
+
+    zv = zbuf2[...]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    cell_row = hi * th + ri // ws
+    cell_col = ri - (ri // ws) * ws
+    mask_top = (cell_row == 0).astype(f32)
+    mask_bot = (cell_row == gh - 1).astype(f32)
+    mask_l = (cell_col == 0).astype(f32)
+    mask_r = (cell_col == gw - 1).astype(f32)
+
+    def zslice(ph_r, ph_c, cdr, cdc):
+        blk = ph_r * pf_in + ph_c
+        base = LANE + ws + cdr * ws + cdc
+        piece = jax.lax.slice(zv, (blk * cb_out, base),
+                              ((blk * cb_out) + c_out, base + m))
+        if masked and cdc != 0:
+            # wrapped columns: neighbor outside image; the clamp fixup
+            # re-adds the center there, so zero the wrap.
+            ok = (cell_col + cdc >= 0) & (cell_col + cdc < gw)
+            piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+        return piece.astype(f32)
+
+    scp.wait()
+    for a in range(pf_out):
+        nr_r, nr_roff = a // 2, 0
+        if a % 2 == 0:
+            nb_roff, nb_r = divmod(a // 2 - 1, pf_in)
+            rmask = mask_top if a == 0 else None
+        else:
+            nb_roff, nb_r = divmod(a // 2 + 1, pf_in)
+            rmask = mask_bot if a == pf_out - 1 else None
+        for b in range(pf_out):
+            nr_c, nr_coff = b // 2, 0
+            if b % 2 == 0:
+                nb_coff, nb_c = divmod(b // 2 - 1, pf_in)
+                cmask = mask_l if b == 0 else None
+            else:
+                nb_coff, nb_c = divmod(b // 2 + 1, pf_in)
+                cmask = mask_r if b == pf_out - 1 else None
+            # row blend for each column tap (near / neighbor)
+            def rowblend(ph_c, coff):
+                v = (0.75 * zslice(nr_r, ph_c, nr_roff, coff)
+                     + 0.25 * zslice(nb_r, ph_c, nb_roff, coff))
+                if rmask is not None:
+                    v = v + 0.25 * rmask * zslice(nr_r, ph_c, nr_roff, coff)
+                return v
+            out = 0.75 * rowblend(nr_c, nr_coff) + 0.25 * rowblend(
+                nb_c, nb_coff)
+            if cmask is not None:
+                out = out + 0.25 * cmask * rowblend(nr_c, nr_coff)
+            if not masked:
+                # neighbor taps read real data across cell boundaries at
+                # the slack columns; keep the layout's zero-slack invariant
+                out = jnp.where(cell_col < gw, out, jnp.zeros_like(out))
+            p = a * pf_out + b
+            skip = sbuf[pl.ds(p * cb_out, c_out), :].astype(f32)
+            obuf[pl.ds(p * cb_out, c_out), :] = (out + skip).astype(dtype)
+
+    _emit_tile(out_hbm, obuf, zpad, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
+
+
+def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
+                interpret: bool | None = None) -> ChwTensor:
+    """SkipUpSample on packed layouts: out = bilinear2x(conv1x1(x)) + skip.
+    Output matches ``skip``'s shape (phase factor doubles; same grid)."""
+    if interpret is None:
+        interpret = _interpret()
+    t = x.t
+    pf, cb, ws, gw, gh, padr = x.pf, x.cb, x.ws, x.gw, x.gh, x.padr
+    dtype = x.data.dtype
+    pf_out = 2 * pf
+    c_out = skip.c
+    assert skip.pf == pf_out and skip.gh == gh and skip.ws == ws
+    cb_out = skip.cb
+    nch_out = pf_out * pf_out * cb_out
+    masked = (ws == gw)
+
+    kern = params['up__1']['conv']['kernel']        # (1, 1, C_in, C_out)
+    c_in = kern.shape[2]
+    w11 = jnp.zeros((cb, c_out), kern.dtype).at[:c_in].set(
+        kern.reshape(c_in, c_out)).T.astype(dtype)  # (C_out, cb_in)
+
+    th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
+               (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * 2
+                + pf * pf * cb_out * (2 * LANE + (t2 + 2) * ws) * 2
+                + 3 * nch_out * t2 * ws * 2
+                + 6 * c_out * t2 * ws * 4) < 11 * 1024 * 1024), None)
+    assert th is not None
+    n_tiles = gh // th
+    lp = flat_len(gh, gw, padr)
+
+    out = pl.pallas_call(
+        functools.partial(_up_kernel, th=th, ws=ws, gw=gw, gh=gh, cb_in=cb,
+                          pf_in=pf, c_out=c_out, cb_out=cb_out,
+                          pf_out=pf_out, padr=padr, masked=masked,
+                          dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x
+            pl.BlockSpec(memory_space=pltpu.ANY),    # skip
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w 1x1
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((nch_out, th * ws), dtype),                 # sbuf
+            pltpu.VMEM((pf * pf * cb_out, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((nch_out, th * ws), dtype),                 # obuf
+            pltpu.VMEM((nch_out, padr * ws + TAIL), dtype),        # zpad
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x.data, skip.data, w11)
+    return ChwTensor(out, skip.h, skip.w, padr, pf_out, c_out)
+
+
+def tfr_unet_chw(params: dict[str, Any], x: ChwTensor, *, reduction: int,
+                 downsample_prelu: bool = False,
+                 interpret: bool | None = None) -> ChwTensor:
+    """Full TFR_UNet (``gshift_deblur1.py:681-722``) on packed CHW layouts:
+    full-res s2d(4x4), half-res s2d(2x2), quarter-res flat — all living on
+    one quarter-resolution grid so every stride-2 down / 2x up is a
+    stride-1 phase-block kernel.  ``params`` is the TFRUNet flax subtree
+    (torch-mirrored names)."""
+    kw = dict(reduction=reduction, interpret=interpret)
+    dkern = 'down__0' if downsample_prelu else 'down'
+    c1 = params['down12'][dkern]['conv']['kernel'].shape[-1]
+    c2 = params['down23'][dkern]['conv']['kernel'].shape[-1]
+
+    enc1 = cab_chw(x, params['encoder_level1__0'], **kw)
+    y = down_chw(enc1, params['down12'], c1, with_prelu=downsample_prelu,
+                 interpret=interpret)
+    for i in range(3):
+        y = cab_chw(y, params[f'encoder_level2__{i}'], **kw)
+    enc2 = y
+    y = down_chw(enc2, params['down23'], c2, with_prelu=downsample_prelu,
+                 interpret=interpret)
+    for i in range(3):
+        y = cab_chw(y, params[f'encoder_level3__{i}'], **kw)
+    for i in range(3):
+        y = cab_chw(y, params[f'decoder_level3__{i}'], **kw)
+    skip2 = cab_chw(enc2, params['skip_attn2'], **kw)
+    y = up_skip_chw(y, params['up32'], skip2, interpret=interpret)
+    for i in range(3):
+        y = cab_chw(y, params[f'decoder_level2__{i}'], **kw)
+    skip1 = cab_chw(enc1, params['skip_attn1'], **kw)
+    y = up_skip_chw(y, params['up21'], skip1, interpret=interpret)
+    return cab_chw(y, params['decoder_level1__0'], **kw)
+
+
+def tfr_shapes_ok(h: int, w: int) -> bool:
+    """Whether the packed TFR path supports this extent (pf=4 packing and
+    at least one dividing row tile at every level)."""
+    if h % 4 or w % 4:
+        return False
+    gh = h // 4
+    return any(gh % t == 0 for t in (16, 12, 8, 6, 4, 3, 2))

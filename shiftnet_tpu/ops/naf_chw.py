@@ -1,0 +1,686 @@
+"""Fused CHW Pallas kernels for the GShiftNet shift-block hot path.
+
+Covers the reference ``CAB1``/``CAB2`` NAF-style gated blocks
+(``gshift_deblur1.py:183-255``) and the surrounding grouped
+spatial-temporal shift (``:440-547``), on the packed ChwTensor layout
+(``ops/chw.py``).  Replaces the NHWC Pallas path (``ops/cab_pallas.py``),
+which never beat XLA (PERF.md): NHWC pads C=80 to 128 lanes and pays an
+HBM round trip per op; here tensors are dense, the temporal shift is a
+cheap flat channel concat, the 24-direction spatial shift is an XLA
+mask-accumulate over *aligned* cell slices, and each CAB body runs in
+three kernels:
+
+  gate kernel: [CAB2: depthwise 3x3 over the shifted channels] ->
+    LayerNorm -> 1x1 expand -> RepConv2 (dw 3x3 + id) -> SimpleGate.
+    The LN is algebraically folded into the expand matmul: LN statistics
+    are per-pixel scalars, so  w0 @ LN(x) = inv*(w0*gamma @ x)
+    - inv*mu*(w0@gamma) + w0@beta  — the MXU consumes RAW slab rows (no
+    patch assembly for 1x1 convs) and a per-pixel affine fixes the result.
+  rep kernel: [denoise mid-CA scale] -> RepConv as a single merged 25-tap
+    block-diagonal dense matmul (5x5 grouped + 3x3 grouped + identity
+    summed into one weight host-side) -> 1x1 expand -> SimpleGate2.
+  back kernel: out = shortcut + beta * (w7 @ (s * ca) + b7).
+
+Channel-attention MLPs (CALayer2, ``gshift_deblur1.py:71-87``) run on the
+host on per-tile sums, exactly like the plain-CAB path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shiftnet_tpu.ops.chw import (
+    ChwTensor, LANE, TAIL, _col_index, _emit_tile, _interpret, _phases,
+    col_slack_ok, cpad16, flat_len, phase_taps,
+)
+from shiftnet_tpu.ops.shift import shift_dir_table
+
+
+# ---------------------------------------------------------------------------
+# XLA-side shift ops on the flat layout (dense; no Pallas needed).
+# ---------------------------------------------------------------------------
+
+
+def temporal_shift_chw(x: ChwTensor, *, reverse: bool = False,
+                       boundary_patch: bool = True) -> ChwTensor:
+    """Temporal half-channel shift (``gshift_deblur1.py:504-519``) on the
+    flat layout: a pure channel-block concat across frames (dense copies;
+    lanes untouched)."""
+    n = x.c
+    cb = x.cb
+    pp = x.pf * x.pf
+    d = x.data.reshape(x.t, pp, cb, -1)
+    lo, hi = d[:, :, : n // 2], d[:, :, n // 2: n]
+    pad = d[:, :, n:]
+    if not reverse:
+        y = jnp.concatenate([jnp.roll(hi, 1, axis=0), lo, pad], axis=2)
+        if boundary_patch:
+            y = jnp.concatenate([d[0:1], y[1:]], axis=0)
+    else:
+        y = jnp.concatenate([hi, jnp.roll(lo, -1, axis=0), pad], axis=2)
+        if boundary_patch:
+            y = jnp.concatenate([y[:-1], d[-1:]], axis=0)
+    return ChwTensor(y.reshape(x.data.shape), x.h, x.w, x.padr, x.pf, x.c)
+
+
+def extract_hw_chw(y: ChwTensor, add_c: int, *, reverse: bool) -> ChwTensor:
+    """Slice the ``add_c`` temporally-moved channels (front for forward,
+    back for reverse: ``gshift_deblur1.py:520-528``) into their own packed
+    tensor."""
+    cb = y.cb
+    pp = y.pf * y.pf
+    d = y.data.reshape(y.t, pp, cb, -1)
+    hw = d[:, :, : add_c] if not reverse else d[:, :, y.c - add_c: y.c]
+    hcb = add_c if y.pf == 1 else cpad16(add_c)
+    hw = jnp.pad(hw, ((0, 0), (0, 0), (0, hcb - add_c), (0, 0)))
+    return ChwTensor(hw.reshape(y.t, pp * hcb, -1), y.h, y.w, y.padr,
+                     y.pf, add_c)
+
+
+def grouped_spatial_shift_chw(hw: ChwTensor, number: int) -> ChwTensor:
+    """24-direction grouped spatial shift (``gshift_deblur1.py:470-503``)
+    on the packed layout.  Every shift is a multiple of 4, so with pf in
+    {1, 2, 4} the shifts are whole grid cells and phase-preserving: the op
+    is a mask-accumulate over lane-offset slices of one padded copy, fused
+    by XLA into a single dense loop.  Out-of-image rows/cols land in the
+    zero pad rows / slack columns automatically; a final lane-validity mask
+    restores the layout's zero-pad invariant."""
+    pf, ws, gw, gh, padr = hw.pf, hw.ws, hw.gw, hw.gh, hw.padr
+    assert 8 % pf == 0
+    t, nch, lp = hw.data.shape
+    cb = hw.cb
+    s = 8 // pf  # max shift in cells
+    rows = lp // ws  # includes pad rows (+ tail remainder ignored below)
+    pad_lanes = s * ws + s
+    src = jnp.pad(hw.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
+
+    out = None
+    for c0, csz, dy, dx in shift_dir_table(number):
+        if csz == 0:
+            continue
+        assert dy % pf == 0 and dx % pf == 0
+        off = pad_lanes - (dy // pf) * ws - (dx // pf)
+        sl = jax.lax.slice(src, (0, 0, off), (t, nch, off + lp))
+        mask = np.zeros((nch, 1), np.float32)
+        for p in range(pf * pf):
+            mask[p * cb + c0: p * cb + c0 + csz] = 1.0
+        term = sl * jnp.asarray(mask, hw.data.dtype)
+        out = term if out is None else out + term
+
+    # restore zero pads: pad rows, slack cols, tail
+    lane_ok = np.zeros((1, lp), np.float32)
+    body = np.zeros(((gh + 2 * padr), ws), np.float32)
+    body[padr: padr + gh, :gw] = 1.0
+    lane_ok[0, : (gh + 2 * padr) * ws] = body.reshape(-1)
+    out = out * jnp.asarray(lane_ok, hw.data.dtype)
+    return ChwTensor(out, hw.h, hw.w, padr, pf, hw.c)
+
+
+# ---------------------------------------------------------------------------
+# Weight preparation (host side).
+# ---------------------------------------------------------------------------
+
+
+def _dense_rep(rep5, rep3, n, groups, dtype, cb):
+    """Merged RepConv weight: grouped 5x5 + grouped 3x3 + identity as ONE
+    (25, cb, n) block-diagonal dense tap stack (f32 merge, single
+    bf16 cast)."""
+    cing = n // groups
+    per = n // groups
+    w = np.zeros((25, cb, n), np.float32)
+    r5 = np.asarray(rep5, np.float32)
+    r3 = np.asarray(rep3, np.float32)
+    for g in range(groups):
+        ci0, co0 = g * cing, g * per
+        w[:, ci0:ci0 + cing, co0:co0 + per] += r5.reshape(25, cing, n)[
+            :, :, co0:co0 + per]
+    for i in range(9):
+        dy, dx = divmod(i, 3)
+        tap = (dy + 1) * 5 + (dx + 1)
+        for g in range(groups):
+            ci0, co0 = g * cing, g * per
+            w[tap, ci0:ci0 + cing, co0:co0 + per] += r3.reshape(9, cing, n)[
+                i, :, co0:co0 + per]
+    w[12, :n] += np.eye(n, dtype=np.float32)
+    return jnp.asarray(w.reshape(25 * cb, n).T, dtype)  # (n, 25*cb)
+
+
+def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
+                     groups: int, dtype, cb: int,
+                     hcb: int) -> dict[str, jax.Array]:
+    """Precompute kernel-side weight matrices from the declared NAF param
+    tree (``models/layers.py:_declare_naf_params``).  ``cb``/``hcb`` are
+    the tensor block strides (== channel counts for pf=1 layouts)."""
+    f32 = jnp.float32
+    cin = n + add_c
+    w0 = params['w0'].astype(f32)                     # (cin, 2n)
+    g = params['ln_w'].astype(f32)
+    b = params['ln_b'].astype(f32)
+    wg = (w0 * g[:, None]).T                          # (2n, cin)
+    c1 = (w0.T @ g)                                   # (2n,)
+    c2 = (w0.T @ b)                                   # (2n,)
+
+    half = n // 2
+
+    def chunk_rows(k):
+        return list(range(k * half, (k + 1) * half)) + \
+            list(range(n + k * half, n + (k + 1) * half))
+
+    wa, wb, c1c, c2c, dw0c = [], [], [], [], []
+    dw0 = params['dw0'].reshape(9, 2 * n).astype(f32)
+    for k in range(2):
+        rows = jnp.asarray(chunk_rows(k))
+        m = wg[rows]                                  # (n, cin)
+        ya = jnp.zeros((n, cb), f32).at[:, :n].set(m[:, :n])
+        wa.append(ya)
+        if add_c:
+            yb = jnp.zeros((n, hcb), f32).at[:, :add_c].set(m[:, n:])
+            wb.append(yb)
+        c1c.append(c1[rows])
+        c2c.append(c2[rows])
+        dw0c.append(dw0[:, rows])                     # (9, n)
+    out = {
+        'wa': jnp.stack(wa).astype(dtype),            # (2, n, cb)
+        'c1': jnp.stack(c1c).astype(f32),             # (2, n)
+        'c2': jnp.stack(c2c).astype(f32),
+        'dw0': jnp.stack(dw0c).astype(dtype),         # (2, 9, n)
+        'rep': _dense_rep(params['rep5'], params['rep3'], n, groups, dtype,
+                          cb),
+        'w4': params['w4'].astype(f32).T.astype(dtype),   # (2n, n) lhs
+        'w7': jnp.zeros((n, cb), f32).at[:, :n].set(
+            params['w7'].astype(f32).T).astype(dtype),    # (n, cb) lhs
+        'beta': params['beta'].reshape(n, 1).astype(f32),
+        'b7': params.get('b7', jnp.zeros((n,))).reshape(n, 1).astype(f32),
+    }
+    if add_c:
+        out['wb'] = jnp.stack(wb).astype(dtype)       # (2, n, hcb)
+        out['dwc'] = params['dwc'].reshape(9, add_c).astype(dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernels.
+# ---------------------------------------------------------------------------
+
+
+def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dwc, dw0,
+                     g_ref, gsums_ref, ybuf, hwbuf, hw2buf, ebuf, sem, sem2,
+                     *, th, ws, gw, gh, n, cb, hcb, add_c, pf, padr, rg,
+                     taps3, masked, eps, dtype):
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    f32 = jnp.float32
+    pp = pf * pf
+    half = n // 2
+    rows_e = th + 2 * rg + 2
+    m_e = rows_e * ws
+    rows_g = th + 2 * rg
+    m_g = rows_g * ws
+
+    cp1 = pltpu.make_async_copy(
+        y_hbm.at[ti, :, pl.ds((hi * th + padr - (rg + 1)) * ws,
+                              rows_e * ws)],
+        ybuf.at[:, pl.ds(LANE, rows_e * ws)], sem)
+    cp1.start()
+    if add_c:
+        rows_h = rows_e + 2
+        cp2 = pltpu.make_async_copy(
+            hw_hbm.at[ti, :, pl.ds((hi * th + padr - (rg + 2)) * ws,
+                                   rows_h * ws)],
+            hwbuf.at[:, pl.ds(LANE, rows_h * ws)], sem2)
+        cp2.start()
+
+    @pl.when(ti + hi == 0)
+    def _():
+        # zero lead/tail slack once (DMAs never write it)
+        ybuf[:, :LANE] = jnp.zeros((ybuf.shape[0], LANE), dtype)
+        hwbuf[:, :LANE] = jnp.zeros((hwbuf.shape[0], LANE), dtype)
+        ebuf[:, :LANE] = jnp.zeros((ebuf.shape[0], LANE), dtype)
+    ybuf[:, LANE + rows_e * ws:] = jnp.zeros(
+        (ybuf.shape[0], ybuf.shape[1] - LANE - rows_e * ws), dtype)
+    cp1.wait()
+    yv = ybuf[...]
+
+    col = _col_index((rows_e + 2) * ws, ws)
+    if add_c:
+        cp2.wait()
+        hwbuf[:, LANE + (rows_e + 2) * ws:] = jnp.zeros(
+            (hwbuf.shape[0], hwbuf.shape[1] - LANE - (rows_e + 2) * ws),
+            dtype)
+        hv = hwbuf[...]
+        for p in range(pp):
+            acc = None
+            for i, (blk, cdr, cdc) in enumerate(taps3[p]):
+                piece = jax.lax.slice(
+                    hv, (blk * hcb, LANE + ws + cdr * ws + cdc),
+                    ((blk + 1) * hcb, LANE + ws + cdr * ws + cdc + m_e))
+                if masked and cdc != 0:
+                    ok = (col[:, :m_e] + cdc >= 0) & (col[:, :m_e] + cdc < gw)
+                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+                w = dwc[i].reshape(hcb, 1)
+                term = piece.astype(f32) * w.astype(f32)
+                acc = term if acc is None else acc + term
+            hw2buf[pl.ds(p * hcb, hcb), pl.ds(0, m_e)] = acc.astype(dtype)
+        h2v = hw2buf[...]
+
+    # per-phase LN statistics over the cin = n + add_c logical channels
+    cin = n + add_c
+    stats = []
+    for p in range(pp):
+        yp = jax.lax.slice(yv, (p * cb, LANE), (p * cb + n, LANE + m_e))
+        s1 = jnp.sum(yp.astype(f32), axis=0, keepdims=True)
+        s2 = jnp.sum(jnp.square(yp.astype(f32)), axis=0, keepdims=True)
+        if add_c:
+            hp = jax.lax.slice(h2v, (p * hcb, 0), (p * hcb + add_c, m_e))
+            s1 = s1 + jnp.sum(hp.astype(f32), axis=0, keepdims=True)
+            s2 = s2 + jnp.sum(jnp.square(hp.astype(f32)), axis=0,
+                              keepdims=True)
+        mu = s1 / cin
+        var = s2 / cin - mu * mu
+        stats.append((mu, jax.lax.rsqrt(var + eps)))
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, m_e), 1) // ws
+    cell_e = hi * th - (rg + 1) + ri
+    e_ok = (cell_e >= 0) & (cell_e < gh)
+    if not masked:
+        e_ok = e_ok & col_slack_ok(m_e, ws, gw)
+    rg_i = jax.lax.broadcasted_iota(jnp.int32, (1, m_g), 1) // ws
+    cell_g = hi * th - rg + rg_i
+    g_ok = (cell_g >= 0) & (cell_g < gh)
+    if not masked:
+        g_ok = g_ok & col_slack_ok(m_g, ws, gw)
+
+    gs_acc = [None, None]
+    for k in range(2):
+        for p in range(pp):
+            yp = jax.lax.slice(yv, (p * cb, LANE),
+                               ((p + 1) * cb, LANE + m_e))
+            e = jax.lax.dot_general(
+                wa[k], yp, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            if add_c:
+                hp = jax.lax.slice(h2v, (p * hcb, 0), ((p + 1) * hcb, m_e))
+                e = e + jax.lax.dot_general(
+                    wb[k], hp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            mu, inv = stats[p]
+            e = inv * e - (inv * mu) * c1[k].reshape(n, 1) \
+                + c2[k].reshape(n, 1)
+            e = jnp.where(e_ok, e, jnp.zeros_like(e)).astype(dtype)
+            ebuf[pl.ds(p * n, n), pl.ds(LANE, m_e)] = e
+        ev = ebuf[...]
+        for p in range(pp):
+            center = jax.lax.slice(
+                ev, (p * n, LANE + ws), ((p + 1) * n, LANE + ws + m_g))
+            d = center.astype(f32)
+            for i, (blk, cdr, cdc) in enumerate(taps3[p]):
+                piece = jax.lax.slice(
+                    ev, (blk * n, LANE + ws + cdr * ws + cdc),
+                    ((blk + 1) * n, LANE + ws + cdr * ws + cdc + m_g))
+                if masked and cdc != 0:
+                    ok = (col[:, :m_g] + cdc >= 0) & \
+                        (col[:, :m_g] + cdc < gw)
+                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+                d = d + piece.astype(f32) * dw0[k, i].reshape(n, 1).astype(
+                    f32)
+            g = (jax.lax.slice(d, (0, 0), (half, m_g))
+                 * jax.lax.slice(d, (half, 0), (n, m_g)))
+            g = jnp.where(g_ok, g, jnp.zeros_like(g)).astype(dtype)
+            g_ref[0, 0, pl.ds(p * cb + k * half, half), pl.ds(LANE, m_g)] = g
+            part = jnp.sum(
+                jax.lax.slice(g, (0, rg * ws), (half, rg * ws + th * ws)
+                              ).astype(f32), axis=1)
+            gs_acc[k] = part if gs_acc[k] is None else gs_acc[k] + part
+
+    nch_all = pp * cb
+    g_ref[0, 0, :, pl.ds(0, LANE)] = jnp.zeros((nch_all, LANE), dtype)
+    g_ref[0, 0, :, pl.ds(LANE + m_g, LANE)] = jnp.zeros((nch_all, LANE),
+                                                        dtype)
+    if cb != n:
+        for p in range(pp):
+            g_ref[0, 0, pl.ds(p * cb + n, cb - n), pl.ds(LANE, m_g)] = \
+                jnp.zeros((cb - n, m_g), dtype)
+    pad = ((n + LANE - 1) // LANE) * LANE
+    vec = jnp.concatenate([gs_acc[0], gs_acc[1]]).reshape(1, n)
+    vec = jnp.pad(vec, ((0, 0), (0, pad - n)))
+    gsums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+
+
+def _naf_rep_kernel(g_hbm, cag, repw, w4, s_ref, sums_ref, pbuf, *,
+                    th, ws, gw, gh, n, cb, pf, rg, taps5, masked, dtype):
+    f32 = jnp.float32
+    pp = pf * pf
+    m = th * ws
+    rows_g = th + 2 * rg
+    gv = g_hbm[0, 0] * cag[0].astype(dtype)
+    repv = repw[...]
+    w4v = w4[...]
+    col = _col_index(rows_g * ws, ws) if masked else None
+
+    acc_sums = None
+    for p in range(pp):
+        r = None
+        for dy in range(5):
+            for dx in range(5):
+                blk, cdr, cdc = taps5[p][dy * 5 + dx]
+                piece = jax.lax.slice(
+                    gv, (blk * cb, LANE + rg * ws + cdr * ws + cdc),
+                    ((blk + 1) * cb, LANE + rg * ws + cdr * ws + cdc + m))
+                if masked and cdc != 0:
+                    ok = (col[:, :m] + cdc >= 0) & (col[:, :m] + cdc < gw)
+                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+                pbuf[pl.ds(dx * cb, cb), pl.ds(0, m)] = piece
+            part = jax.lax.dot_general(
+                repv[:, dy * 5 * cb:(dy + 1) * 5 * cb],
+                pbuf[:, pl.ds(0, m)],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            r = part if r is None else r + part
+        rb = r.astype(dtype)
+        e2 = jax.lax.dot_general(
+            w4v, rb, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        s = (e2[:n].astype(dtype)
+             * jax.nn.sigmoid(e2[n:]).astype(dtype))
+        if not masked:
+            s = jnp.where(col_slack_ok(m, ws, gw), s, jnp.zeros_like(s))
+        s_ref[0, pl.ds(p * cb, n)] = s
+        if cb != n:
+            s_ref[0, pl.ds(p * cb + n, cb - n)] = jnp.zeros((cb - n, m),
+                                                            dtype)
+        part = jnp.sum(s.astype(f32), axis=1)
+        acc_sums = part if acc_sums is None else acc_sums + part
+
+    pad = ((n + LANE - 1) // LANE) * LANE
+    vec = jnp.pad(acc_sums.reshape(1, n), ((0, 0), (0, pad - n)))
+    sums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+
+
+def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, obuf, zbuf,
+                     sem, osem, zsem, *, th, ws, gh, n, cb, pf, padr,
+                     dtype):
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    f32 = jnp.float32
+    pp = pf * pf
+    m = th * ws
+
+    cp = pltpu.make_async_copy(
+        y_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m)], obuf, sem)
+    cp.start()
+    zbuf[...] = jnp.zeros_like(zbuf)
+    scaled = s_ref[0] * ca[0].astype(dtype)
+    cp.wait()
+
+    for p in range(pp):
+        sp = jax.lax.slice(scaled, (p * cb, 0), ((p + 1) * cb, m))
+        y7 = jax.lax.dot_general(
+            w7[...], sp, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        y7 = (y7 + b7[...].astype(f32)) * beta[...].astype(f32)
+        short = obuf[pl.ds(p * cb, n), :]
+        obuf[pl.ds(p * cb, n), :] = (short.astype(f32) + y7).astype(dtype)
+
+    _emit_tile(out_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper + shift-block orchestration.
+# ---------------------------------------------------------------------------
+
+
+def _gate_budget(th, ws, pf, n, cb, hcb, add_c, rg):
+    pp = pf * pf
+    rows_e = th + 2 * rg + 2
+    m_e = rows_e * ws
+    m_g = (th + 2 * rg) * ws
+    need = (
+        pp * cb * (2 * LANE + m_e) * 2 +                 # ybuf
+        pp * n * (2 * LANE + m_e) * 2 +                  # ebuf
+        pp * cb * m_g * 2 +                              # g out block
+        2 * n * m_e * 4 +                                # e f32
+        n * m_g * 4 +                                    # dw0 acc f32
+        m_e * 4 * 4                                      # stats/cols
+    )
+    if add_c:
+        need += (pp * hcb * (2 * LANE + (rows_e + 2) * ws) * 2    # hwbuf
+                 + pp * hcb * m_e * 2                             # hw2buf
+                 + hcb * m_e * 4)                                 # dwc acc
+    return need
+
+
+def _naf_mlp(sums, n_px, du1, du2, dtype):
+    mean = (sums / n_px).astype(dtype)
+    z = jax.lax.dot_general(mean, du1.astype(dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = jnp.maximum(z.astype(dtype), 0)
+    z = jax.lax.dot_general(z, du2.astype(dtype), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jax.nn.sigmoid(z.astype(dtype))
+
+
+def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
+                params: dict[str, Any], *, groups: int,
+                mid_ca: bool = False, use_last_bias: bool = False,
+                eps: float = 1e-6,
+                interpret: bool | None = None) -> ChwTensor:
+    """Fused CAB1 (``hw=None``) / CAB2 forward on packed layouts.
+    ``params`` is the raw NAF dict from ``_declare_naf_params``."""
+    if interpret is None:
+        interpret = _interpret()
+    t = y.t
+    pf, n, cb, ws, gw, gh, padr = (y.pf, y.c, y.cb, y.ws, y.gw, y.gh,
+                                   y.padr)
+    dtype = y.data.dtype
+    pp = pf * pf
+    add_c = 0 if hw is None else hw.c
+    hcb = hw.cb if hw is not None else 16
+    rg = -(-2 // pf)  # ceil(2/pf): RepConv 5x5 halo in cells
+    assert padr >= rg + 2, (padr, rg)
+
+    th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
+               _gate_budget(t2, ws, pf, n, cb, hcb, add_c, rg)
+               < 10 * 1024 * 1024), None)
+    assert th is not None, (gh, ws, pf, n)
+    n_tiles = gh // th
+    masked = (ws == gw)
+    rows_g = th + 2 * rg
+    npad = ((n + LANE - 1) // LANE) * LANE
+    nch = pp * cb
+
+    wts = prep_naf_weights(params, n, add_c, groups, dtype, cb, hcb)
+    taps3 = [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
+             for b in range(pf)]
+    taps5 = [phase_taps(pf, pf, 5, 1, 2)[(a, b)] for a in range(pf)
+             for b in range(pf)]
+
+    hw_data = hw.data if hw is not None else jnp.zeros(
+        (t, pp * hcb, y.data.shape[2]), dtype)
+
+    g, gsums = pl.pallas_call(
+        functools.partial(
+            _naf_gate_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n, cb=cb,
+            hcb=hcb, add_c=add_c, pf=pf, padr=padr, rg=rg, taps3=taps3,
+            masked=masked, eps=eps, dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # wa
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # wb
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # c1
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # c2
+                  pl.BlockSpec(memory_space=pltpu.VMEM),   # dwc
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # dw0
+        out_specs=[
+            pl.BlockSpec((1, 1, nch, 2 * LANE + rows_g * ws),
+                         lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, npad), lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, n_tiles, nch, 2 * LANE + rows_g * ws),
+                                 dtype),
+            jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pp * cb, 2 * LANE + (th + 2 * rg + 2) * ws), dtype),
+            pltpu.VMEM((pp * hcb, 2 * LANE + (th + 2 * rg + 4) * ws), dtype),
+            pltpu.VMEM((pp * hcb, (th + 2 * rg + 2) * ws), dtype),
+            pltpu.VMEM((pp * n, 2 * LANE + (th + 2 * rg + 2) * ws), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(y.data, hw_data, wts['wa'], wts.get('wb', jnp.zeros((2, n, hcb),
+                                                          dtype)),
+      wts['c1'], wts['c2'],
+      wts.get('dwc', jnp.zeros((9, hcb), dtype)), wts['dw0'])
+
+    n_px = y.h * y.w
+    if mid_ca:
+        cag = _naf_mlp(jnp.sum(gsums[:, :, 0, :n], axis=1), n_px,
+                       params['du1m'], params['du2m'], dtype)
+    else:
+        cag = jnp.ones((t, n), dtype)
+    cag_full = jnp.zeros((t, pp, cb), dtype).at[:, :, :n].set(
+        cag[:, None, :]).reshape(t, nch, 1)
+
+    s, sums = pl.pallas_call(
+        functools.partial(_naf_rep_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n,
+                          cb=cb, pf=pf, rg=rg, taps5=taps5, masked=masked,
+                          dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, nch, 2 * LANE + rows_g * ws),
+                         lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rep
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w4
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, npad), lambda ti, hi: (ti, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, nch, gh * ws), dtype),
+            jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5 * cb, th * ws), dtype),
+        ],
+        interpret=interpret,
+    )(g, cag_full, wts['rep'], wts['w4'])
+
+    ca = _naf_mlp(jnp.sum(sums[:, :, 0, :n], axis=1), n_px,
+                  params['du1'], params['du2'], dtype)
+    ca_full = jnp.zeros((t, pp, cb), dtype).at[:, :, :n].set(
+        ca[:, None, :]).reshape(t, nch, 1)
+
+    b7 = wts['b7'] if use_last_bias else jnp.zeros((n, 1), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_naf_back_kernel, th=th, ws=ws, gh=gh, n=n, cb=cb,
+                          pf=pf, padr=padr, dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # y (shortcut)
+            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # w7
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # beta
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # b7
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(y.data.shape, dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nch, th * ws), dtype),
+            pltpu.VMEM((nch, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(y.data, s, ca_full, wts['w7'], wts['beta'], b7)
+    return ChwTensor(out, y.h, y.w, padr, pf, n)
+
+
+def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
+                            boundary_patch: bool, mid_ca: bool,
+                            last_bias: bool, repconv_depthwise: bool,
+                            interpret: bool | None = None) -> ChwTensor:
+    """``Encoder_shift_block`` (``gshift_deblur1.py:440-547``) on the packed
+    layout: ``rounds`` x [temporal shift -> grouped spatial shift -> CAB2 ->
+    CAB1], alternating direction.  ``cab_params``: [(cab2_naf, cab1_naf)]
+    per round from ``_declare_naf_params``."""
+    n = x.c
+    number = n // 2 // 8
+    add_c = 8 * number
+    groups = n if repconv_depthwise else n // 8
+    kw = dict(groups=groups, mid_ca=mid_ca, use_last_bias=last_bias,
+              interpret=interpret)
+    for r in range(rounds):
+        reverse = (r % 2 == 1)
+        y = temporal_shift_chw(x, reverse=reverse,
+                               boundary_patch=boundary_patch)
+        hw = extract_hw_chw(y, add_c, reverse=reverse)
+        hw = grouped_spatial_shift_chw(hw, number)
+        p2, p1 = cab_params[r]
+        x = naf_cab_chw(y, hw, p2, **kw)
+        x = naf_cab_chw(x, None, p1, **kw)
+    return x
+
+
+def naf_params_from_tree(tree: dict, *, mid_ca: bool = False,
+                         last_bias: bool = False,
+                         add_c: int = 0) -> dict[str, jax.Array]:
+    """Collect the raw NAF matrices from a CAB1/CAB2 flax param subtree
+    (torch-mirrored names; same extraction as
+    ``models/layers.py:_declare_naf_params``)."""
+    off = 1 if mid_ca else 0
+
+    def k(*path):
+        v = tree
+        for p in path:
+            v = v[p]
+        return jnp.asarray(v)
+
+    w0 = k('body__0', 'conv', 'kernel')
+    cin_ln = w0.shape[2]
+    n = w0.shape[3] // 2
+    params = {
+        'ln_w': k('norm', 'weight'),
+        'ln_b': k('norm', 'bias'),
+        'w0': w0.reshape(cin_ln, 2 * n),
+        'dw0': k('body__1', 'conv_2', 'conv', 'kernel')[:, :, 0, :],
+        'rep5': k(f'body__{3 + off}', 'conv_1', 'conv', 'kernel'),
+        'rep3': k(f'body__{3 + off}', 'conv_2', 'conv', 'kernel'),
+        'w4': k(f'body__{4 + off}', 'conv', 'kernel').reshape(n, 2 * n),
+        'du1': k(f'body__{6 + off}', 'conv_du__0', 'conv',
+                 'kernel').reshape(n, -1),
+        'du2': k(f'body__{6 + off}', 'conv_du__2', 'conv',
+                 'kernel').reshape(-1, n),
+        'w7': k(f'body__{7 + off}', 'conv', 'kernel').reshape(n, n),
+        'beta': k('beta').reshape(n),
+    }
+    if mid_ca:
+        params['du1m'] = k('body__3', 'conv_du__0', 'conv',
+                           'kernel').reshape(n, -1)
+        params['du2m'] = k('body__3', 'conv_du__2', 'conv',
+                           'kernel').reshape(-1, n)
+    if last_bias:
+        params['b7'] = k(f'body__{7 + off}', 'conv', 'bias')
+    if add_c:
+        params['dwc'] = k('conv1', 'conv', 'kernel')[:, :, 0, :]
+    return params
