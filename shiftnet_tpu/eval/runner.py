@@ -54,7 +54,10 @@ class Evaluator:
             # -> bf16 here; fp32 for denoise-big (``test_denoise.py:85`` — no
             # ``.half()``), where the sigma=10 PSNR regime is most fragile.
             bf16 = variant != 'denoise_plus'
-        overrides = overrides or {}
+        overrides = dict(overrides or {})
+        # Packed-CHW fused inference path by default (falls back per-shape
+        # when the extent doesn't support it — ops/chw.py tfr_shapes_ok).
+        overrides.setdefault('fused_chw', True)
         cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo,
                                        **overrides)
         self.cfg = cfg

@@ -56,6 +56,7 @@ class GShiftNetConfig:
     future_frames: int = 1          # num_ff
     fused_cab: bool = False         # fused Pallas shift-block CABs (inference)
     fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
+    fused_chw: bool = False         # whole-network packed-CHW path (infer.)
 
     @property
     def noise_map(self) -> bool:
@@ -98,10 +99,12 @@ class Encoder2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw
         cfg = self.cfg
         nf = cfg.n_feats2
         nf0 = cfg.n_feats0
         red = cfg.ca_reduction
+        chw_in = isinstance(x, chw.ChwTensor)
         cab_kw = dict(kernel_size=3, reduction=red, dtype=self.dtype)
         shift_kw = dict(
             rounds=cfg.shift_rounds, reduction=red,
@@ -115,9 +118,20 @@ class Encoder2(nn.Module):
         if cfg.encoder2_level0_shift_cabs:
             x = ShiftCAB(nf0, name='encoder_level0', **cab_kw)(x)
             x = ShiftCAB(nf0, reverse=True, name='encoder_level0_1', **cab_kw)(x)
-        x = Conv2d(nf, 2, stride=2, padding=0, use_bias=False,
-                   dtype=self.dtype, name='down01__0')(x)
-        x = PReLU(dtype=self.dtype, name='down01__1')(x)
+        if chw_in:
+            # down01 (k=2 s=2 conv + PReLU) via the generic packed conv.
+            z = jnp.zeros((1, 2, 2, x.c), self.dtype)
+            r = Conv2d(nf, 2, stride=2, padding=0, use_bias=False,
+                       dtype=self.dtype, name='down01__0')(z)
+            PReLU(dtype=self.dtype, name='down01__1')(r)
+            v = self.variables['params']
+            x = chw.conv_chw(
+                x, jnp.asarray(v['down01__0']['conv']['kernel']), None,
+                jnp.asarray(v['down01__1']['weight']), stride=2)
+        else:
+            x = Conv2d(nf, 2, stride=2, padding=0, use_bias=False,
+                       dtype=self.dtype, name='down01__0')(x)
+            x = PReLU(dtype=self.dtype, name='down01__1')(x)
 
         if cfg.encoder2_shift_encoder:
             # Small variants: 3 shift blocks per encoder level, 2 levels.
@@ -152,15 +166,25 @@ class Encoder2(nn.Module):
                            dtype=self.dtype, name='down12')(enc11)
             enc2 = CAB(nf, name='encoder_level2', **cab_kw)(y)
             enc22 = CAB(nf, name='encoder_level2_1', **cab_kw)(enc2)
+            # Level 3 runs as an XLA NHWC island: its extent (H/8, W/8) is
+            # below the shared quarter grid, and the tensors are 16x smaller
+            # than level 1 — conversion cost is negligible.
+            e22 = chw.to_nhwc(enc22) if chw_in else enc22
             y = DownSample(nf, with_prelu=cfg.downsample_prelu,
-                           dtype=self.dtype, name='down23')(enc22)
+                           dtype=self.dtype, name='down23')(e22)
             enc3 = CAB(nf, name='encoder_level3', **cab_kw)(y)
             enc33 = CAB(nf, name='encoder_level3_1', **cab_kw)(enc3)
 
             dec3 = EncoderShiftBlock(nf, name='decoder_level3', **shift_kw)(enc33)
             dec33 = EncoderShiftBlock(nf, name='decoder_level3_1', **shift_kw)(dec3)
             skip2 = CAB(nf, name='skip_attn2', **cab_kw)(enc22)
-            y = SkipUpSample(nf, dtype=self.dtype, name='up32')(dec33, skip2)
+            if chw_in:
+                y = SkipUpSample(nf, dtype=self.dtype, name='up32')(
+                    dec33, chw.to_nhwc(skip2))
+                y = chw.from_nhwc(y, padr=4, pf=1)
+            else:
+                y = SkipUpSample(nf, dtype=self.dtype, name='up32')(dec33,
+                                                                    skip2)
             dec2 = EncoderShiftBlock(nf, name='decoder_level2', **shift_kw)(y)
             dec22 = EncoderShiftBlock(nf, name='decoder_level2_1', **shift_kw)(dec2)
             skip1 = CAB(nf, name='skip_attn1', **cab_kw)(enc11)
@@ -172,7 +196,29 @@ class Encoder2(nn.Module):
         up = PixelShufflePack(nf0, scale=2, upsample_kernel=3,
                               dtype=self.dtype, name='upsample0')(dec11)
         skip = CAB(nf0, name='skip_conv', **cab_kw)(shortcut)
-        if cfg.final_fuse_concat:
+        if chw_in:
+            if cfg.final_fuse_concat:
+                z = jnp.zeros((1, 1, 1, 2 * nf0), self.dtype)
+                Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
+                       name='conv_hr0')(z)
+                p = self.variables['params']['conv_hr0']['conv']
+                out = chw.conv_chw(chw.concat_chw([up, skip]),
+                                   jnp.asarray(p['kernel']),
+                                   jnp.asarray(p['bias']), None)
+            else:
+                z = jnp.zeros((1, 1, 1, nf0), self.dtype)
+                PReLU(dtype=self.dtype, name='act')(z)
+                Conv2d(nf0, 3, use_bias=False, dtype=self.dtype,
+                       name='conv_hr0')(z)
+                v = self.variables['params']
+                a = jnp.asarray(v['act']['weight']).astype(self.dtype)
+                upa = chw.ChwTensor(
+                    jnp.maximum(up.data, 0) + a * jnp.minimum(up.data, 0),
+                    up.h, up.w, up.padr, up.pf, up.c)
+                out = chw.add_chw(
+                    chw.conv_chw(upa, jnp.asarray(
+                        v['conv_hr0']['conv']['kernel']), None, None), skip)
+        elif cfg.final_fuse_concat:
             out = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                          name='conv_hr0')(jnp.concatenate([up, skip], axis=-1))
         else:
@@ -204,6 +250,10 @@ class GShiftNet(nn.Module):
         if cfg.noise_map:
             assert noise_map is not None, 'denoise variants require a noise map'
             inp = jnp.concatenate([x, noise_map.astype(x.dtype)], axis=-1)
+
+        from shiftnet_tpu.ops import chw
+        if cfg.fused_chw and chw.tfr_shapes_ok(x.shape[1], x.shape[2]):
+            return self._forward_chw(inp, shortcut, center, tfr_kw)
 
         x0 = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                     name='feat_extract__0')(inp)
@@ -248,6 +298,60 @@ class GShiftNet(nn.Module):
         z = Conv2d(3, cfg.conv_last_ks, use_bias=False, dtype=self.dtype,
                    name='conv_last')(z)
         return z + shortcut[center]
+
+    def _forward_chw(self, inp, shortcut, center, tfr_kw):
+        """Whole-network packed-CHW path: two layout conversions total
+        (entry and exit); everything in between runs on ChwTensors (the L3
+        island inside Encoder2 excepted)."""
+        from shiftnet_tpu.ops import chw
+        cfg = self.cfg
+        nf0 = cfg.n_feats0
+        dt = self.dtype
+
+        def conv_params(name, c_in, k, bias):
+            z = jnp.zeros((1, 1, 1, c_in), dt)
+            Conv2d(nf0 if name != 'conv_last' else 3, k, use_bias=bias,
+                   dtype=dt, name=name)(z)
+            p = self.variables['params'][name]['conv']
+            return (jnp.asarray(p['kernel']),
+                    jnp.asarray(p['bias']) if bias else None)
+
+        def tslice(ct, sl):
+            return chw.ChwTensor(ct.data[sl], ct.h, ct.w, ct.padr, ct.pf,
+                                 ct.c)
+
+        xin = chw.from_nhwc(inp, padr=4, pf=4)
+        k, b = conv_params('feat_extract__0', inp.shape[-1], 3, True)
+        x0 = chw.conv_chw(xin, k, b, None)
+        x0 = CAB(nf0, kernel_size=3, reduction=cfg.ca_reduction, dtype=dt,
+                 name='feat_extract__1')(x0)
+
+        y = x0
+        for i in range(cfg.num_orbs):
+            y = TFRUNet(nf0, name=f'orb{i + 1}', **tfr_kw)(y)
+        sam0 = chw.add_chw(y, x0) if cfg.stage_residual else y
+        k, b = conv_params('conv_trans', nf0, 3, True)
+        sam = chw.conv_chw(sam0, k, b, None)
+
+        dec = Encoder2(cfg, dtype=dt, name='stage1')(sam)
+
+        feats = sam if cfg.stage2_uses_conv_trans else sam0
+        z = chw.concat_chw([tslice(x0, center), tslice(feats, center),
+                            tslice(dec, center)])
+        k, b = conv_params('rconcat', 3 * nf0, 3, cfg.rconcat_bias)
+        alpha = None
+        if cfg.rconcat_act:
+            PReLU(dtype=dt, name='lrelu')(jnp.zeros((1, 1, 1, nf0), dt))
+            alpha = jnp.asarray(self.variables['params']['lrelu']['weight'])
+        z = chw.conv_chw(z, k, b, alpha)
+        shortcut2 = z
+        for i in range(cfg.num_orbs):
+            z = TFRUNet(nf0, name=f'rorb{i + 1}', **tfr_kw)(z)
+        if cfg.stage_residual:
+            z = chw.add_chw(z, shortcut2)
+        k, _ = conv_params('conv_last', nf0, cfg.conv_last_ks, False)
+        z = chw.conv_chw(z, k, None, None)
+        return chw.to_nhwc(z) + shortcut[center]
 
 
 def build_model(name: str, *, dtype=jnp.float32, **overrides) -> GShiftNet:

@@ -241,6 +241,12 @@ class CAB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw
+        if isinstance(x, chw.ChwTensor):
+            assert self.kernel_size == 3 and not self.use_bias
+            self._declare(x.c)
+            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            return chw.cab_chw(x, params, reduction=self.reduction)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
                      dtype=self.dtype, name='body__0')(x)
         res = PReLU(dtype=self.dtype, name='body__1')(res)
@@ -249,6 +255,16 @@ class CAB(nn.Module):
         res = CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
                       dtype=self.dtype, name='CA')(res)
         return res + x
+
+    def _declare(self, c_in):
+        z = jnp.zeros((1, 1, 1, c_in), self.dtype)
+        r = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                   dtype=self.dtype, name='body__0')(z)
+        r = PReLU(dtype=self.dtype, name='body__1')(r)
+        r = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
+                   dtype=self.dtype, name='body__2')(r)
+        CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
+                dtype=self.dtype, name='CA')(r)
 
 
 class ShiftCAB(nn.Module):
@@ -264,6 +280,23 @@ class ShiftCAB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw, naf_chw
+        if isinstance(x, chw.ChwTensor):
+            assert self.kernel_size == 3 and not self.use_bias
+            z = jnp.zeros((1, 1, 1, x.c), self.dtype)
+            r = Conv2d(self.n_feat, self.kernel_size,
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name='body__0')(z)
+            r = PReLU(dtype=self.dtype, name='body__1')(r)
+            r = Conv2d(self.n_feat, self.kernel_size,
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name='body__2')(r)
+            CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
+                    dtype=self.dtype, name='CA')(r)
+            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            y = naf_chw.temporal_shift_chw(x, reverse=self.reverse,
+                                           boundary_patch=True)
+            return chw.cab_chw(y, params, reduction=self.reduction)
         x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
                      dtype=self.dtype, name='body__0')(x)
@@ -478,6 +511,12 @@ class DownSample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw
+        if isinstance(x, chw.ChwTensor):
+            self._declare(x.c)
+            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            return chw.down_chw(x, params, self.out_channels,
+                                with_prelu=self.with_prelu)
         if self.with_prelu:
             x = Conv2d(self.out_channels, 3, stride=2, use_bias=False,
                        dtype=self.dtype, name='down__0')(x)
@@ -487,6 +526,16 @@ class DownSample(nn.Module):
                        dtype=self.dtype, name='down')(x)
         return x
 
+    def _declare(self, c_in):
+        z = jnp.zeros((1, 2, 2, c_in), self.dtype)
+        if self.with_prelu:
+            r = Conv2d(self.out_channels, 3, stride=2, use_bias=False,
+                       dtype=self.dtype, name='down__0')(z)
+            PReLU(dtype=self.dtype, name='down__1')(r)
+        else:
+            Conv2d(self.out_channels, 3, stride=2, use_bias=True,
+                   dtype=self.dtype, name='down')(z)
+
 
 class SkipUpSample(nn.Module):
     """Bilinear 2x + 1x1 conv + skip add (``gshift_deblur1.py:341-351``)."""
@@ -495,6 +544,13 @@ class SkipUpSample(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
+        from shiftnet_tpu.ops import chw
+        if isinstance(x, chw.ChwTensor):
+            z = jnp.zeros((1, 1, 1, x.c), self.dtype)
+            Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
+                   name='up__1')(z)
+            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            return chw.up_skip_chw(x, params, skip)
         x = bilinear_up2x(x)
         x = Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
                    name='up__1')(x)
@@ -510,6 +566,16 @@ class PixelShufflePack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw
+        if isinstance(x, chw.ChwTensor):
+            assert self.scale == 2
+            z = jnp.zeros((1, 1, 1, x.c), self.dtype)
+            Conv2d(self.out_channels * 4, self.upsample_kernel,
+                   use_bias=True, dtype=self.dtype, name='upsample_conv')(z)
+            p = self.variables['params']['upsample_conv']['conv']
+            y = chw.conv_chw(x, jnp.asarray(p['kernel']),
+                             jnp.asarray(p['bias']), None, stride=1)
+            return chw.pixel_shuffle_chw(y, 2)
         x = Conv2d(self.out_channels * self.scale ** 2, self.upsample_kernel,
                    use_bias=True, dtype=self.dtype, name='upsample_conv')(x)
         return pixel_shuffle(x, self.scale)
@@ -594,9 +660,42 @@ class EncoderShiftBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from shiftnet_tpu.ops import chw, naf_chw
         from shiftnet_tpu.ops.shift import grouped_spatial_shift
         number = self.n_feat // 2 // 8
         add_c = 8 * number
+        if isinstance(x, chw.ChwTensor):
+            # packed-CHW fused path: declare the identical param tree via
+            # dummy XLA-module calls, then run the naf_chw kernels.
+            n = self.n_feat
+            z1 = jnp.zeros((1, 1, 1, n), self.dtype)
+            z2 = jnp.zeros((1, 1, 1, n + add_c), self.dtype)
+            kwd = dict(kernel_size=5, reduction=self.reduction,
+                       use_bias=self.use_bias, mid_ca=self.mid_ca,
+                       last_bias=self.last_bias,
+                       repconv_depthwise=self.repconv_depthwise,
+                       dtype=self.dtype)
+            for r in range(self.rounds):
+                suffix = '' if r == 0 else f'_{r}'
+                CAB2(n, add_c, name=f'encoder_level1{suffix}__0',
+                     **kwd)(z2)
+                CAB1(n, name=f'encoder_level1{suffix}__1', **kwd)(z1)
+            v = jax.tree.map(jnp.asarray, self.variables['params'])
+            cab_params = []
+            for r in range(self.rounds):
+                suffix = '' if r == 0 else f'_{r}'
+                cab_params.append((
+                    naf_chw.naf_params_from_tree(
+                        v[f'encoder_level1{suffix}__0'], mid_ca=self.mid_ca,
+                        last_bias=self.last_bias, add_c=add_c),
+                    naf_chw.naf_params_from_tree(
+                        v[f'encoder_level1{suffix}__1'], mid_ca=self.mid_ca,
+                        last_bias=self.last_bias)))
+            return naf_chw.encoder_shift_block_chw(
+                cab_params, x, rounds=self.rounds,
+                boundary_patch=self.boundary_patch, mid_ca=self.mid_ca,
+                last_bias=self.last_bias,
+                repconv_depthwise=self.repconv_depthwise)
         kw = dict(kernel_size=5, reduction=self.reduction,
                   use_bias=self.use_bias, mid_ca=self.mid_ca,
                   last_bias=self.last_bias,

@@ -87,10 +87,10 @@ class ChwTensor:
 
     @property
     def cb(self) -> int:
-        # pf=1 keeps channels unpadded in HBM (the flat kernels pad only
-        # their VMEM slabs); packed layouts pad per phase block so tap
-        # slices land at 16-aligned sublane offsets.
-        return self.c if self.pf == 1 else cpad16(self.c)
+        # channel blocks padded to 16 rows in HBM for every layout: tap
+        # slices and DMA block shapes must land on sublane tiles, and the
+        # small variants' widths (14/18/22) are not even 8-aligned.
+        return cpad16(self.c)
 
     @property
     def gh(self) -> int:
@@ -123,7 +123,7 @@ def from_nhwc(x: jax.Array, padr: int = 2, pf: int = 1) -> ChwTensor:
     assert h % pf == 0 and w % pf == 0, (h, w, pf)
     gh, gw = h // pf, w // pf
     ws = row_stride(gw)
-    cb = c if pf == 1 else cpad16(c)
+    cb = cpad16(c)
     y = x.reshape(t, gh, pf, gw, pf, c)
     y = jnp.transpose(y, (0, 2, 4, 5, 1, 3))     # (T, a, b, C, gh, gw)
     y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, cb - c), (padr, padr),
@@ -141,6 +141,16 @@ def to_nhwc(x: ChwTensor) -> jax.Array:
     y = y[:, :, :, : x.c, x.padr: x.padr + x.gh, : x.gw]
     y = jnp.transpose(y, (0, 4, 1, 5, 2, 3))     # (T, gh, a, gw, b, C)
     return y.reshape(t, x.h, x.w, x.c)
+
+
+
+
+def vmem_cap(esz: int, base_mb: int = 10) -> int:
+    """Calibrated VMEM budget cap: Mosaic stack-allocates unrolled
+    temporaries without reuse, inflating actual usage ~2.3x over
+    hand-counted buffer sums at bf16 and worse at f32 (observed compiles);
+    budgets here count the big buffers only, so cap conservatively."""
+    return int(base_mb * 1024 * 1024 * (1.0 if esz == 2 else 0.42))
 
 
 def cpad16(c: int) -> int:
@@ -207,7 +217,7 @@ def _conv_via_mxu(vals, pbuf, base, n_rows, ws, w, c_in, k, lhs, masked,
 
 
 def _cab_front_kernel(x_hbm, w1, alpha, w2, s_ref, sums_ref, xbuf,
-                      pbuf, sem, *, th, ws, w, c, h, padr, dtype):
+                      pbuf, sem, *, th, ws, w, c, cb, h, padr, dtype):
     """conv3x3 -> PReLU -> conv3x3 with 2-row halo recompute.
 
     Image rows [hi*th, hi*th+th); conv1 computed on th+2 rows.  conv2
@@ -232,7 +242,7 @@ def _cab_front_kernel(x_hbm, w1, alpha, w2, s_ref, sums_ref, xbuf,
         lane0 = (hi2 * th + padr - 2) * ws
         pltpu.make_async_copy(
             x_hbm.at[ti2, :, pl.ds(lane0, rows_in * ws)],
-            xbuf.at[sl, pl.ds(0, c), pl.ds(LANE, rows_in * ws)],
+            xbuf.at[sl, pl.ds(0, cb), pl.ds(LANE, rows_in * ws)],
             sem.at[sl]).start()
 
     # 2-slot lookahead: this program's DMA was started by the previous one;
@@ -249,7 +259,7 @@ def _cab_front_kernel(x_hbm, w1, alpha, w2, s_ref, sums_ref, xbuf,
 
     pltpu.make_async_copy(
         x_hbm.at[0, :, pl.ds(0, rows_in * ws)],
-        xbuf.at[slot, pl.ds(0, c), pl.ds(LANE, rows_in * ws)],
+        xbuf.at[slot, pl.ds(0, cb), pl.ds(LANE, rows_in * ws)],
         sem.at[slot]).wait()
 
     m1 = (th + 2) * ws
@@ -280,7 +290,9 @@ def _cab_front_kernel(x_hbm, w1, alpha, w2, s_ref, sums_ref, xbuf,
     s = s.astype(dtype)
     if ws != w:
         s = jnp.where(col_slack_ok(m2, ws, w), s, jnp.zeros_like(s))
-    s_ref[0] = s
+    s_ref[0, pl.ds(0, c)] = s
+    if cb != c:
+        s_ref[0, pl.ds(c, cb - c)] = jnp.zeros((cb - c, th * ws), dtype)
     # per-tile channel sums, padded to a (8, 128) tile (Mosaic requires
     # lane/sublane-aligned output blocks)
     vec = jnp.sum(s.astype(jnp.float32), axis=1)            # (C,)
@@ -336,27 +348,31 @@ def _cab_back_kernel(x_hbm, s_ref, ca_ref, out_hbm, obuf, zbuf, sem, osem,
 
 
 def pick_tile(h: int, ws: int, c_in: int, c_out: int, k: int = 3,
-              budget: int = 11 * 1024 * 1024) -> int | None:
+              budget: int | None = None, esz: int = 2) -> int | None:
     """Largest row-tile that divides H and fits the front kernel's VMEM
     (Mosaic budgets by SUM of live buffers, no cross-stage reuse)."""
+    if budget is None:
+        budget = vmem_cap(esz, 11)
     cp = cpad16(c_in)
-    for th in (32, 24, 16, 12, 8, 6, 4, 3, 2):
+    fallback = None
+    for th in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
         if h % th:
             continue
         m1 = (th + 2) * ws
         m2 = th * ws
         need = (
-            2 * cp * (2 * LANE + (th + 4) * ws) * 2 +  # xbuf (2 slots)
-            k * cp * ((th + 4) * ws) * 2 +             # pbuf (kx tap stack)
-            2 * c_out * m1 * 4 +                       # y1 acc+part f32
-            c_out * (2 * LANE + m1) * 2 +              # y1p bf16
-            2 * c_out * m2 * 4 +                       # y2 acc+part f32
-            c_out * m2 * 2 +                           # s out
-            m1 * 4 * 2                                 # col iota/masks
+            2 * cp * (2 * LANE + (th + 4) * ws) * esz +  # xbuf (2 slots)
+            k * cp * ((th + 4) * ws) * esz +             # pbuf (kx taps)
+            2 * c_out * m1 * 4 +                         # y1 acc+part f32
+            c_out * (2 * LANE + m1) * esz +              # y1p
+            2 * c_out * m2 * 4 +                         # y2 acc+part f32
+            c_out * m2 * esz +                           # s out
+            m1 * 4 * 2                                   # col iota/masks
         )
         if need < budget:
             return th
-    return None
+        fallback = th
+    return fallback  # smallest divider: best effort for tiny/f32 shapes
 
 
 def _interpret() -> bool:
@@ -374,11 +390,12 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
         return _cab_chw_s2d(x, params, interpret=interpret)
     if interpret is None:
         interpret = _interpret()
-    t, c, lp = x.data.shape
+    t, _, lp = x.data.shape
+    c, cb = x.c, x.cb
     ws, w, h, padr = x.ws, x.w, x.h, x.padr
     assert padr >= 2, padr
     dtype = x.data.dtype
-    th = pick_tile(h, ws, c, c)
+    th = pick_tile(h, ws, c, c, esz=jnp.dtype(dtype).itemsize)
     assert th is not None, (h, ws, c)
     n_tiles = h // th
 
@@ -389,7 +406,7 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
 
     s, sums = pl.pallas_call(
         functools.partial(_cab_front_kernel, th=th, ws=ws, w=w, c=c,
-                          h=h, padr=padr, dtype=dtype),
+                          cb=cb, h=h, padr=padr, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
@@ -398,13 +415,13 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
         ],
         out_specs=[
-            pl.BlockSpec((1, c, th * ws), lambda ti, hi: (ti, 0, hi),
+            pl.BlockSpec((1, cb, th * ws), lambda ti, hi: (ti, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, cpad), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, c, h * ws), dtype),
+            jax.ShapeDtypeStruct((t, cb, h * ws), dtype),
             jax.ShapeDtypeStruct((t, n_tiles, 8, cpad), jnp.float32),
         ],
         scratch_shapes=[
@@ -417,28 +434,29 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
 
     ca = ca_mlp(sums[:, :, 0, :c], h * w, params['CA'], dtype)  # (T, C)
 
+    ca_b = jnp.zeros((t, cb), ca.dtype).at[:, :c].set(ca)
     out = pl.pallas_call(
-        functools.partial(_cab_back_kernel, th=th, ws=ws, w=w, c=c,
+        functools.partial(_cab_back_kernel, th=th, ws=ws, w=w, c=cb,
                           padr=padr, h=h, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
-            pl.BlockSpec((1, c, th * ws), lambda ti, hi: (ti, 0, hi),
+            pl.BlockSpec((1, cb, th * ws), lambda ti, hi: (ti, 0, hi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 1), lambda ti, hi: (ti, 0, 0),
+            pl.BlockSpec((1, cb, 1), lambda ti, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),   # ca
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((t, c, lp), dtype),
+        out_shape=jax.ShapeDtypeStruct((t, cb, lp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, th * ws), dtype),
-            pltpu.VMEM((c, padr * ws + TAIL), dtype),
+            pltpu.VMEM((cb, th * ws), dtype),
+            pltpu.VMEM((cb, padr * ws + TAIL), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x.data, s, ca.reshape(t, c, 1))
-    return ChwTensor(out, h, w, padr)
+    )(x.data, s, ca_b.reshape(t, cb, 1))
+    return ChwTensor(out, h, w, padr, 1, c)
 
 
 # ---------------------------------------------------------------------------
@@ -639,23 +657,28 @@ def _phases(pf: int):
 
 
 def pick_tile_s2d(gh: int, ws: int, pf: int, cb: int, c_out: int,
-                  budget: int = 11 * 1024 * 1024) -> int | None:
+                  budget: int | None = None,
+                  esz: int = 2) -> int | None:
+    if budget is None:
+        budget = vmem_cap(esz, 11)
     nch = pf * pf * cb
-    for th in (16, 12, 8, 6, 4, 3, 2):
+    fallback = None
+    for th in (16, 12, 8, 6, 4, 3, 2, 1):
         if gh % th:
             continue
         m1 = (th + 2) * ws
         need = (
-            2 * nch * (2 * LANE + (th + 4) * ws) * 2 +   # xbuf (2 slots)
-            nch * (2 * LANE + m1) * 2 +                  # y1buf
-            9 * cb * m1 * 2 +                            # pbuf
-            2 * c_out * m1 * 4 +                         # phase-conv f32
-            nch * th * ws * 2 +                          # s out block
-            m1 * 4 * 2                                   # col masks
+            2 * nch * (2 * LANE + (th + 4) * ws) * esz +  # xbuf (2 slots)
+            nch * (2 * LANE + m1) * esz +                 # y1buf
+            9 * cb * m1 * esz +                           # pbuf
+            2 * c_out * m1 * 4 +                          # phase-conv f32
+            nch * th * ws * esz +                         # s out block
+            m1 * 4 * 2                                    # col masks
         )
         if need < budget:
             return th
-    return None
+        fallback = th
+    return fallback  # smallest divider: best effort for tiny/f32 shapes
 
 
 def _expand_ca(ca: jax.Array, pf: int, c: int, cb: int) -> jax.Array:
@@ -677,8 +700,9 @@ def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
     dtype = x.data.dtype
     th = next(t2 for t2 in (32, 16, 8, 4, 2, 1)
               if gh % t2 == 0 and
-              (3 * nch * t2 * ws + nch * (padr * ws + TAIL)) * 2
-              < 10 * 1024 * 1024)
+              (3 * nch * t2 * ws + nch * (padr * ws + TAIL))
+              * jnp.dtype(dtype).itemsize
+              < vmem_cap(jnp.dtype(dtype).itemsize, 10))
     n_tiles = gh // th
     out = pl.pallas_call(
         functools.partial(_cab_back_kernel, th=th, ws=ws, w=x.gw, c=nch,
@@ -713,7 +737,7 @@ def _cab_chw_s2d(x: ChwTensor, params: dict[str, Any],
     assert padr >= 2, padr
     dtype = x.data.dtype
     nch = pf * pf * cb
-    th = pick_tile_s2d(gh, ws, pf, cb, c)
+    th = pick_tile_s2d(gh, ws, pf, cb, c, esz=jnp.dtype(dtype).itemsize)
     assert th is not None, (gh, ws, pf, cb)
     n_tiles = gh // th
     masked = (ws == gw)
@@ -762,16 +786,18 @@ def _down_kernel(x_hbm, wlhs, bias, alpha, out_hbm, xbuf, pbuf, obuf, zbuf,
                  sem, osem, zsem, *, th, ws, gw, gh, cb_in, pf_in, c_out,
                  cb_out, pf_out, padr, taps, masked, use_bias, use_prelu,
                  dtype):
-    """Stride-2 conv (phase-packed): pf_in -> pf_out = pf_in//2 on the same
-    grid.  Optional bias / PReLU (reference DownSample,
-    ``gshift_deblur1.py:330-340`` and denoise variant
-    ``gshift_denoise1.py:361-362``)."""
+    """Generic phase-packed conv (stride 1 or 2 folded into the phase
+    mapping; any K), optional bias / PReLU.  Covers the reference
+    DownSample (``gshift_deblur1.py:330-340``), the k=2 ``down01``
+    (``:560-562``), and plain 3x3/5x5 convs (``conv``, ``:135-138``)."""
     ti = pl.program_id(0)
     hi = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     g = ti * n_tiles + hi
+    halo = max(1, max(abs(cd) for tp in taps for _, cd, _ in tp))
     slot = _lookahead_dma(x_hbm, xbuf, sem, g, pl.num_programs(0) * n_tiles,
-                          n_tiles, th, 1, ws, padr, pf_in * pf_in * cb_in)
+                          n_tiles, th, halo, ws, padr,
+                          pf_in * pf_in * cb_in)
 
     @pl.when(g == 0)
     def _():
@@ -779,11 +805,11 @@ def _down_kernel(x_hbm, wlhs, bias, alpha, out_hbm, xbuf, pbuf, obuf, zbuf,
         zbuf[...] = jnp.zeros_like(zbuf)
 
     m = th * ws
-    col = _col_index((th + 2) * ws, ws) if masked else None
+    col = _col_index((th + 2 * halo) * ws, ws) if masked else None
     xvals = xbuf[slot]
     for p, (a, b) in enumerate(_phases(pf_out)):
-        o = _phase_conv(xvals, pbuf, LANE + ws, th, ws, gw, cb_in,
-                        taps[(a, b)], wlhs[...], masked, col)
+        o = _phase_conv(xvals, pbuf, LANE + halo * ws, th, ws, gw, cb_in,
+                        taps[p], wlhs[...], masked, col)
         if use_bias:
             o = o + bias[...].astype(jnp.float32)
         if use_prelu:
@@ -797,39 +823,43 @@ def _down_kernel(x_hbm, wlhs, bias, alpha, out_hbm, xbuf, pbuf, obuf, zbuf,
                padr, gh)
 
 
-def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
-             with_prelu: bool = False,
+def conv_chw(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
+             alpha: jax.Array | None, *, stride: int = 1,
              interpret: bool | None = None) -> ChwTensor:
-    """Reference DownSample: stride-2 3x3 conv (+bias, or bias-free +
-    PReLU) on a packed layout.  Output phase factor halves; same grid."""
+    """Generic conv on a packed layout: stride 1 keeps the phase factor,
+    stride 2 halves it (same grid).  ``kern`` is HWIO; ``bias`` (C_out,) or
+    None; ``alpha`` a PReLU scalar or None."""
     if interpret is None:
         interpret = _interpret()
     t = x.t
     pf, cb, ws, gw, gh, padr = x.pf, x.cb, x.ws, x.gw, x.gh, x.padr
-    assert pf >= 2, pf
     dtype = x.data.dtype
-    pf_out = pf // 2
-    cb_out = c_out if pf_out == 1 else cpad16(c_out)
+    k = kern.shape[0]
+    pad = k // 2 if stride == 1 else (1 if k == 3 else 0)
+    c_out = kern.shape[3]
+    pf_out = pf // stride
+    assert pf_out >= 1
+    cb_out = cpad16(c_out)
     nch_out = pf_out * pf_out * cb_out
     masked = (ws == gw)
 
-    if with_prelu:
-        kern = params['down__0']['conv']['kernel']
-        bias = jnp.zeros((c_out, 1), jnp.float32)
-        alpha = params['down__1']['weight'].reshape(1, 1).astype(jnp.float32)
-        use_bias = False
-    else:
-        kern = params['down']['conv']['kernel']
-        bias = params['down']['conv']['bias'].reshape(c_out, 1)
-        alpha = jnp.zeros((1, 1), jnp.float32)
-        use_bias = True
     wlhs = conv_lhs(kern, dtype)
-    taps = phase_taps(pf, pf_out, 3, 2, 1)
+    tbl = phase_taps(pf, pf_out, k, stride, pad)
+    taps = [tbl[(a, b)] for a in range(pf_out) for b in range(pf_out)]
+    halo = max(1, max(abs(cd) for tp in taps for _, cd, _ in tp))
+    assert padr >= halo, (padr, halo)
 
+    bias_a = (bias.reshape(c_out, 1).astype(jnp.float32)
+              if bias is not None else jnp.zeros((c_out, 1), jnp.float32))
+    alpha_a = (alpha.reshape(1, 1).astype(jnp.float32)
+               if alpha is not None else jnp.zeros((1, 1), jnp.float32))
+
+    esz = jnp.dtype(dtype).itemsize
     th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
-               (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * 2
-                + 9 * cb * t2 * ws * 2 + 2 * c_out * t2 * ws * 4
-                + 2 * nch_out * t2 * ws * 2) < 11 * 1024 * 1024), None)
+               (2 * pf * pf * cb * (2 * LANE + (t2 + 2 * halo) * ws) * esz
+                + k * k * cb * t2 * ws * esz + 2 * c_out * t2 * ws * 4
+                + 2 * nch_out * t2 * ws * esz) < vmem_cap(esz, 10)),
+              next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
     assert th is not None
     n_tiles = gh // th
     lp = flat_len(gh, gw, padr)
@@ -838,8 +868,8 @@ def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
         functools.partial(_down_kernel, th=th, ws=ws, gw=gw, gh=gh,
                           cb_in=cb, pf_in=pf, c_out=c_out, cb_out=cb_out,
                           pf_out=pf_out, padr=padr, taps=taps,
-                          masked=masked, use_bias=use_bias,
-                          use_prelu=with_prelu, dtype=dtype),
+                          masked=masked, use_bias=bias is not None,
+                          use_prelu=alpha is not None, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -850,8 +880,9 @@ def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2) * ws), dtype),
-            pltpu.VMEM((9 * cb, th * ws), dtype),
+            pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2 * halo) * ws),
+                       dtype),
+            pltpu.VMEM((k * k * cb, th * ws), dtype),
             pltpu.VMEM((nch_out, th * ws), dtype),
             pltpu.VMEM((nch_out, padr * ws + TAIL), dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -859,8 +890,72 @@ def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x.data, wlhs, bias, alpha)
-    return ChwTensor(out, x.h // 2, x.w // 2, padr, pf_out, c_out)
+    )(x.data, wlhs, bias_a, alpha_a)
+    return ChwTensor(out, x.h // stride, x.w // stride, padr, pf_out, c_out)
+
+
+def down_chw(x: ChwTensor, params: dict[str, Any], c_out: int, *,
+             with_prelu: bool = False,
+             interpret: bool | None = None) -> ChwTensor:
+    """Reference DownSample: stride-2 3x3 conv (+bias, or bias-free +
+    PReLU) on a packed layout.  Output phase factor halves; same grid."""
+    if with_prelu:
+        return conv_chw(x, params['down__0']['conv']['kernel'], None,
+                        params['down__1']['weight'], stride=2,
+                        interpret=interpret)
+    return conv_chw(x, params['down']['conv']['kernel'],
+                    params['down']['conv']['bias'], None, stride=2,
+                    interpret=interpret)
+
+
+def add_chw(a: ChwTensor, b: ChwTensor) -> ChwTensor:
+    assert a.data.shape == b.data.shape and a.pf == b.pf
+    return ChwTensor(a.data + b.data, a.h, a.w, a.padr, a.pf, a.c)
+
+
+def concat_chw(tensors: list[ChwTensor]) -> ChwTensor:
+    """Channel concat of same-shape packed tensors (reference
+    ``torch.cat(..., dim=1)``): a per-phase block restack in XLA."""
+    a = tensors[0]
+    pp = a.pf * a.pf
+    c_out = sum(x.c for x in tensors)
+    cb_out = cpad16(c_out)
+    parts = [x.data.reshape(x.t, pp, x.cb, -1)[:, :, :x.c] for x in tensors]
+    out = jnp.concatenate(parts, axis=2)
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, cb_out - c_out), (0, 0)))
+    return ChwTensor(out.reshape(a.t, pp * cb_out, -1), a.h, a.w, a.padr,
+                     a.pf, c_out)
+
+
+def pixel_shuffle_chw(y: ChwTensor, scale: int = 2) -> ChwTensor:
+    """torch ``F.pixel_shuffle`` on a packed layout: with the conv output
+    at phase factor pf, depth-to-space is a pure channel-block relabeling
+    (out phase (A,B) block = in phase (A//2,B//2) block rows
+    ``[c*(A%2*2+B%2)... ]`` for torch ordering out[c, 2h+i, 2w+j] =
+    in[c*4+i*2+j, h, w]; reference ``gshift_deblur1.py:256-278``)."""
+    assert scale == 2
+    pf = y.pf
+    pf_out = 2 * pf
+    c4 = y.c
+    c_out = c4 // 4
+    cb_out = cpad16(c_out)
+    pp = pf * pf
+    d = y.data.reshape(y.t, pp, y.cb, -1)
+    blocks = []
+    for A in range(pf_out):
+        for B in range(pf_out):
+            a, i = divmod(A, 2)
+            b, j = divmod(B, 2)
+            src = d[:, (a * pf + b):(a * pf + b) + 1]
+            blk = jnp.concatenate(
+                [src[:, :, c * 4 + i * 2 + j: c * 4 + i * 2 + j + 1]
+                 for c in range(c_out)], axis=2)
+            blk = jnp.pad(blk, ((0, 0), (0, 0), (0, cb_out - c_out),
+                                (0, 0)))
+            blocks.append(blk)
+    out = jnp.concatenate(blocks, axis=1)
+    return ChwTensor(out.reshape(y.t, pf_out * pf_out * cb_out, -1),
+                     2 * y.h, 2 * y.w, y.padr, pf_out, c_out)
 
 
 def _up_kernel(x_hbm, skip_hbm, w11, out_hbm, xbuf, sbuf, zbuf2, obuf,
@@ -989,11 +1084,13 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
     w11 = jnp.zeros((cb, c_out), kern.dtype).at[:c_in].set(
         kern.reshape(c_in, c_out)).T.astype(dtype)  # (C_out, cb_in)
 
+    esz = jnp.dtype(dtype).itemsize
     th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
-               (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * 2
-                + pf * pf * cb_out * (2 * LANE + (t2 + 2) * ws) * 2
-                + 3 * nch_out * t2 * ws * 2
-                + 6 * c_out * t2 * ws * 4) < 11 * 1024 * 1024), None)
+               (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * esz
+                + pf * pf * cb_out * (2 * LANE + (t2 + 2) * ws) * esz
+                + 3 * nch_out * t2 * ws * esz
+                + 6 * c_out * t2 * ws * 4) < vmem_cap(esz, 11)),
+              next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
     assert th is not None
     n_tiles = gh // th
     lp = flat_len(gh, gw, padr)

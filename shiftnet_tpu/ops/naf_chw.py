@@ -77,7 +77,7 @@ def extract_hw_chw(y: ChwTensor, add_c: int, *, reverse: bool) -> ChwTensor:
     pp = y.pf * y.pf
     d = y.data.reshape(y.t, pp, cb, -1)
     hw = d[:, :, : add_c] if not reverse else d[:, :, y.c - add_c: y.c]
-    hcb = add_c if y.pf == 1 else cpad16(add_c)
+    hcb = cpad16(add_c)
     hw = jnp.pad(hw, ((0, 0), (0, 0), (0, hcb - add_c), (0, 0)))
     return ChwTensor(hw.reshape(y.t, pp * hcb, -1), y.h, y.w, y.padr,
                      y.pf, add_c)
@@ -130,25 +130,34 @@ def grouped_spatial_shift_chw(hw: ChwTensor, number: int) -> ChwTensor:
 def _dense_rep(rep5, rep3, n, groups, dtype, cb):
     """Merged RepConv weight: grouped 5x5 + grouped 3x3 + identity as ONE
     (25, cb, n) block-diagonal dense tap stack (f32 merge, single
-    bf16 cast)."""
+    bf16 cast).  jnp throughout (params may be tracers)."""
+    f32 = jnp.float32
     cing = n // groups
     per = n // groups
-    w = np.zeros((25, cb, n), np.float32)
-    r5 = np.asarray(rep5, np.float32)
-    r3 = np.asarray(rep3, np.float32)
+    w = jnp.zeros((25, cb, n), f32)
+    r5 = rep5.astype(f32).reshape(25, cing, n)
+    r3 = rep3.astype(f32).reshape(9, cing, n)
+    # scatter the grouped blocks via a (cb, n) one-hot block-diagonal mask
+    # batched over taps: w[tap, ci, co] = r_expanded masked to the diagonal
+    blockmask = jnp.zeros((cb, n), f32)
     for g in range(groups):
-        ci0, co0 = g * cing, g * per
-        w[:, ci0:ci0 + cing, co0:co0 + per] += r5.reshape(25, cing, n)[
-            :, :, co0:co0 + per]
+        blockmask = blockmask.at[g * cing:(g + 1) * cing,
+                                 g * per:(g + 1) * per].set(1.0)
+    # r5 rows are per-group input channels; tile them to full cb rows
+    reps = jnp.tile(r5, (1, groups, 1))[:, :cb] if cing * groups == n \
+        else r5
+    w = w + jnp.pad(reps, ((0, 0), (0, cb - cing * groups), (0, 0))) \
+        * blockmask
+    rep3f = jnp.tile(r3, (1, groups, 1))[:, :cb] if cing * groups == n \
+        else r3
+    rep3f = jnp.pad(rep3f, ((0, 0), (0, cb - cing * groups), (0, 0))) \
+        * blockmask
     for i in range(9):
         dy, dx = divmod(i, 3)
         tap = (dy + 1) * 5 + (dx + 1)
-        for g in range(groups):
-            ci0, co0 = g * cing, g * per
-            w[tap, ci0:ci0 + cing, co0:co0 + per] += r3.reshape(9, cing, n)[
-                i, :, co0:co0 + per]
-    w[12, :n] += np.eye(n, dtype=np.float32)
-    return jnp.asarray(w.reshape(25 * cb, n).T, dtype)  # (n, 25*cb)
+        w = w.at[tap].add(rep3f[i])
+    w = w.at[12, :n].add(jnp.eye(n, dtype=f32))
+    return w.reshape(25 * cb, n).T.astype(dtype)  # (n, 25*cb)
 
 
 def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
@@ -189,7 +198,7 @@ def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
         'wa': jnp.stack(wa).astype(dtype),            # (2, n, cb)
         'c1': jnp.stack(c1c).astype(f32),             # (2, n)
         'c2': jnp.stack(c2c).astype(f32),
-        'dw0': jnp.stack(dw0c).astype(dtype),         # (2, 9, n)
+        'dw0': jnp.stack([m.T for m in dw0c]).astype(dtype),  # (2, n, 9)
         'rep': _dense_rep(params['rep5'], params['rep3'], n, groups, dtype,
                           cb),
         'w4': params['w4'].astype(f32).T.astype(dtype),   # (2n, n) lhs
@@ -200,76 +209,104 @@ def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
     }
     if add_c:
         out['wb'] = jnp.stack(wb).astype(dtype)       # (2, n, hcb)
-        out['dwc'] = params['dwc'].reshape(9, add_c).astype(dtype)
+        out['dwc'] = jnp.zeros((hcb, 9), f32).at[:add_c].set(
+            params['dwc'].reshape(9, add_c).T).astype(dtype)
     return out
 
 
+
 # ---------------------------------------------------------------------------
-# Kernels.
+# XLA-side depthwise 3x3 (CAB2 conv1) on the packed layout.
 # ---------------------------------------------------------------------------
 
 
-def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dwc, dw0,
-                     g_ref, gsums_ref, ybuf, hwbuf, hw2buf, ebuf, sem, sem2,
-                     *, th, ws, gw, gh, n, cb, hcb, add_c, pf, padr, rg,
-                     taps3, masked, eps, dtype):
+def dw3x3_chw(x: ChwTensor, w: jax.Array) -> ChwTensor:
+    """Depthwise 3x3 conv (no bias) on a packed ChwTensor; ``w`` is the
+    (3, 3, C) per-channel kernel (reference CAB2 ``conv1``,
+    ``gshift_deblur1.py:216-218``).  Phase-crossing taps are channel-block
+    slices at cell-offset lanes — a dense XLA shift-add fusion, like the
+    grouped spatial shift."""
+    pf, ws, gw, gh, padr = x.pf, x.ws, x.gw, x.gh, x.padr
+    t, nch, lp = x.data.shape
+    cb, c = x.cb, x.c
+    pp = pf * pf
+    taps = [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
+            for b in range(pf)]
+    pad_lanes = 2 * ws
+    src = jnp.pad(x.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
+    src = src.reshape(t, pp, cb, -1)
+    wt = jnp.asarray(w, jnp.float32).reshape(9, c)
+
+    outs = []
+    for p in range(pp):
+        acc = None
+        for i, (blk, cdr, cdc) in enumerate(taps[p]):
+            off = pad_lanes + cdr * ws + cdc
+            sl = jax.lax.slice(src, (0, blk, 0, off),
+                               (t, blk + 1, c, off + lp))
+            term = sl.astype(jnp.float32) * wt[i].reshape(1, 1, c, 1)
+            acc = term if acc is None else acc + term
+        outs.append(jnp.pad(acc, ((0, 0), (0, 0), (0, cb - c), (0, 0))))
+    out = jnp.concatenate(outs, axis=1).reshape(t, nch, lp)
+
+    lane_ok = np.zeros((1, lp), np.float32)
+    body = np.zeros(((gh + 2 * padr), ws), np.float32)
+    body[padr: padr + gh, :gw] = 1.0
+    lane_ok[0, : (gh + 2 * padr) * ws] = body.reshape(-1)
+    out = out * jnp.asarray(lane_ok, jnp.float32)
+    return ChwTensor(out.astype(x.data.dtype), x.h, x.w, padr, pf, c)
+
+
+# ---------------------------------------------------------------------------
+# Kernels.  All three read/write standard padded ChwTensors (each re-reads
+# its own halo; no staged overlapping blocks — keeps VMEM small).
+# ---------------------------------------------------------------------------
+
+
+def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
+                     ybuf, hwbuf, ebuf, obuf, zbuf, sem, sem2, osem, zsem,
+                     *, th, ws, gw, gh, n, cb, hcb, add_c, pf, padr,
+                     masked, eps, dtype):
+    """LN-folded 1x1 expand -> RepConv2 (dw 3x3 + id) -> SimpleGate, in two
+    channel chunks (the SimpleGate pairs channel i with i+n, so chunk k
+    computes expand rows [k*n/2,(k+1)*n/2) u [n+k*n/2, ...))."""
     ti = pl.program_id(0)
     hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     f32 = jnp.float32
     pp = pf * pf
     half = n // 2
-    rows_e = th + 2 * rg + 2
+    rows_e = th + 2
     m_e = rows_e * ws
-    rows_g = th + 2 * rg
-    m_g = rows_g * ws
+    m_g = th * ws
 
     cp1 = pltpu.make_async_copy(
-        y_hbm.at[ti, :, pl.ds((hi * th + padr - (rg + 1)) * ws,
-                              rows_e * ws)],
-        ybuf.at[:, pl.ds(LANE, rows_e * ws)], sem)
+        y_hbm.at[ti, :, pl.ds((hi * th + padr - 1) * ws, m_e)],
+        ybuf.at[:, pl.ds(LANE, m_e)], sem)
     cp1.start()
     if add_c:
-        rows_h = rows_e + 2
         cp2 = pltpu.make_async_copy(
-            hw_hbm.at[ti, :, pl.ds((hi * th + padr - (rg + 2)) * ws,
-                                   rows_h * ws)],
-            hwbuf.at[:, pl.ds(LANE, rows_h * ws)], sem2)
+            hw2_hbm.at[ti, :, pl.ds((hi * th + padr - 1) * ws, m_e)],
+            hwbuf.at[:, pl.ds(LANE, m_e)], sem2)
         cp2.start()
 
     @pl.when(ti + hi == 0)
     def _():
-        # zero lead/tail slack once (DMAs never write it)
         ybuf[:, :LANE] = jnp.zeros((ybuf.shape[0], LANE), dtype)
+        ybuf[:, LANE + m_e:] = jnp.zeros((ybuf.shape[0], LANE), dtype)
         hwbuf[:, :LANE] = jnp.zeros((hwbuf.shape[0], LANE), dtype)
+        hwbuf[:, LANE + m_e:] = jnp.zeros((hwbuf.shape[0], LANE), dtype)
         ebuf[:, :LANE] = jnp.zeros((ebuf.shape[0], LANE), dtype)
-    ybuf[:, LANE + rows_e * ws:] = jnp.zeros(
-        (ybuf.shape[0], ybuf.shape[1] - LANE - rows_e * ws), dtype)
+        ebuf[:, LANE + m_e:] = jnp.zeros((ebuf.shape[0], LANE), dtype)
+        zbuf[...] = jnp.zeros_like(zbuf)
+        if obuf.shape[0] != pp * n:
+            obuf[...] = jnp.zeros_like(obuf)
     cp1.wait()
     yv = ybuf[...]
-
-    col = _col_index((rows_e + 2) * ws, ws)
     if add_c:
         cp2.wait()
-        hwbuf[:, LANE + (rows_e + 2) * ws:] = jnp.zeros(
-            (hwbuf.shape[0], hwbuf.shape[1] - LANE - (rows_e + 2) * ws),
-            dtype)
         hv = hwbuf[...]
-        for p in range(pp):
-            acc = None
-            for i, (blk, cdr, cdc) in enumerate(taps3[p]):
-                piece = jax.lax.slice(
-                    hv, (blk * hcb, LANE + ws + cdr * ws + cdc),
-                    ((blk + 1) * hcb, LANE + ws + cdr * ws + cdc + m_e))
-                if masked and cdc != 0:
-                    ok = (col[:, :m_e] + cdc >= 0) & (col[:, :m_e] + cdc < gw)
-                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
-                w = dwc[i].reshape(hcb, 1)
-                term = piece.astype(f32) * w.astype(f32)
-                acc = term if acc is None else acc + term
-            hw2buf[pl.ds(p * hcb, hcb), pl.ds(0, m_e)] = acc.astype(dtype)
-        h2v = hw2buf[...]
 
-    # per-phase LN statistics over the cin = n + add_c logical channels
     cin = n + add_c
     stats = []
     for p in range(pp):
@@ -277,7 +314,8 @@ def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dwc, dw0,
         s1 = jnp.sum(yp.astype(f32), axis=0, keepdims=True)
         s2 = jnp.sum(jnp.square(yp.astype(f32)), axis=0, keepdims=True)
         if add_c:
-            hp = jax.lax.slice(h2v, (p * hcb, 0), (p * hcb + add_c, m_e))
+            hp = jax.lax.slice(hv, (p * hcb, LANE),
+                               (p * hcb + add_c, LANE + m_e))
             s1 = s1 + jnp.sum(hp.astype(f32), axis=0, keepdims=True)
             s2 = s2 + jnp.sum(jnp.square(hp.astype(f32)), axis=0,
                               keepdims=True)
@@ -285,29 +323,27 @@ def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dwc, dw0,
         var = s2 / cin - mu * mu
         stats.append((mu, jax.lax.rsqrt(var + eps)))
 
+    col = _col_index(m_e, ws)
     ri = jax.lax.broadcasted_iota(jnp.int32, (1, m_e), 1) // ws
-    cell_e = hi * th - (rg + 1) + ri
+    cell_e = hi * th - 1 + ri
     e_ok = (cell_e >= 0) & (cell_e < gh)
     if not masked:
         e_ok = e_ok & col_slack_ok(m_e, ws, gw)
-    rg_i = jax.lax.broadcasted_iota(jnp.int32, (1, m_g), 1) // ws
-    cell_g = hi * th - rg + rg_i
-    g_ok = (cell_g >= 0) & (cell_g < gh)
-    if not masked:
-        g_ok = g_ok & col_slack_ok(m_g, ws, gw)
+    taps3 = _TAPS3[pf]
 
     gs_acc = [None, None]
     for k in range(2):
         for p in range(pp):
-            yp = jax.lax.slice(yv, (p * cb, LANE),
-                               ((p + 1) * cb, LANE + m_e))
+            ypb = jax.lax.slice(yv, (p * cb, LANE),
+                                ((p + 1) * cb, LANE + m_e))
             e = jax.lax.dot_general(
-                wa[k], yp, (((1,), (0,)), ((), ())),
+                wa[k], ypb, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
             if add_c:
-                hp = jax.lax.slice(h2v, (p * hcb, 0), ((p + 1) * hcb, m_e))
+                hpb = jax.lax.slice(hv, (p * hcb, LANE),
+                                    ((p + 1) * hcb, LANE + m_e))
                 e = e + jax.lax.dot_general(
-                    wb[k], hp, (((1,), (0,)), ((), ())),
+                    wb[k], hpb, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
             mu, inv = stats[p]
             e = inv * e - (inv * mu) * c1[k].reshape(n, 1) \
@@ -327,53 +363,84 @@ def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dwc, dw0,
                     ok = (col[:, :m_g] + cdc >= 0) & \
                         (col[:, :m_g] + cdc < gw)
                     piece = jnp.where(ok, piece, jnp.zeros_like(piece))
-                d = d + piece.astype(f32) * dw0[k, i].reshape(n, 1).astype(
-                    f32)
+                d = d + piece.astype(f32) * jax.lax.slice(
+                    dw0[k], (0, i), (n, i + 1)).astype(f32)
             g = (jax.lax.slice(d, (0, 0), (half, m_g))
                  * jax.lax.slice(d, (half, 0), (n, m_g)))
-            g = jnp.where(g_ok, g, jnp.zeros_like(g)).astype(dtype)
-            g_ref[0, 0, pl.ds(p * cb + k * half, half), pl.ds(LANE, m_g)] = g
-            part = jnp.sum(
-                jax.lax.slice(g, (0, rg * ws), (half, rg * ws + th * ws)
-                              ).astype(f32), axis=1)
+            if not masked:
+                g = jnp.where(col_slack_ok(m_g, ws, gw), g,
+                              jnp.zeros_like(g))
+            g = g.astype(dtype)
+            obuf[pl.ds(p * cb + k * half, half), :] = g
+            part = jnp.sum(g.astype(f32), axis=1)
             gs_acc[k] = part if gs_acc[k] is None else gs_acc[k] + part
 
-    nch_all = pp * cb
-    g_ref[0, 0, :, pl.ds(0, LANE)] = jnp.zeros((nch_all, LANE), dtype)
-    g_ref[0, 0, :, pl.ds(LANE + m_g, LANE)] = jnp.zeros((nch_all, LANE),
-                                                        dtype)
-    if cb != n:
-        for p in range(pp):
-            g_ref[0, 0, pl.ds(p * cb + n, cb - n), pl.ds(LANE, m_g)] = \
-                jnp.zeros((cb - n, m_g), dtype)
     pad = ((n + LANE - 1) // LANE) * LANE
     vec = jnp.concatenate([gs_acc[0], gs_acc[1]]).reshape(1, n)
     vec = jnp.pad(vec, ((0, 0), (0, pad - n)))
     gsums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+    _emit_tile(g_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
 
 
-def _naf_rep_kernel(g_hbm, cag, repw, w4, s_ref, sums_ref, pbuf, *,
-                    th, ws, gw, gh, n, cb, pf, rg, taps5, masked, dtype):
+_TAPS3 = {pf: [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
+               for b in range(pf)] for pf in (1, 2, 4)}
+_TAPS5 = {pf: [phase_taps(pf, pf, 5, 1, 2)[(a, b)] for a in range(pf)
+               for b in range(pf)] for pf in (1, 2, 4)}
+
+
+def _naf_rep_kernel(phr_ref, offr_ref, g_hbm, cag, repw, w4, s_ref,
+                    sums_ref, gbuf, pbuf, sem, *, th, ws, gw, gh, n, cb,
+                    pf, padr, rg, masked, dtype):
+    """[mid-CA scale] -> merged RepConv (25-tap block-diag dense, per-dy
+    accumulated matmuls) -> 1x1 expand -> SimpleGate2 (+ CA sums).
+
+    Grid is (T, row-tiles, row-phases): the haloed g slab is DMA'd once per
+    tile (scratch persists across the consecutive phase programs); row-tap
+    tables arrive via scalar prefetch (their lane offsets are ws-multiples,
+    which Mosaic accepts as dynamic 128-aligned starts), while column
+    phases/taps stay statically unrolled (their +-cdc lane nudge is applied
+    as a static slice of an aligned window)."""
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    a = pl.program_id(2)
     f32 = jnp.float32
-    pp = pf * pf
     m = th * ws
-    rows_g = th + 2 * rg
-    gv = g_hbm[0, 0] * cag[0].astype(dtype)
+    rows_in = th + 2 * rg
+
+    @pl.when(a == 0)
+    def _():
+        @pl.when(ti + hi == 0)
+        def _():
+            gbuf[:, :LANE] = jnp.zeros((gbuf.shape[0], LANE), dtype)
+            gbuf[:, LANE + rows_in * ws:] = jnp.zeros(
+                (gbuf.shape[0], LANE), dtype)
+        cp = pltpu.make_async_copy(
+            g_hbm.at[ti, :, pl.ds((hi * th + padr - rg) * ws,
+                                  rows_in * ws)],
+            gbuf.at[:, pl.ds(LANE, rows_in * ws)], sem)
+        cp.start()
+        cp.wait()
+
     repv = repw[...]
     w4v = w4[...]
-    col = _col_index(rows_g * ws, ws) if masked else None
+    col = _col_index(m, ws) if masked else None
 
-    acc_sums = None
-    for p in range(pp):
+    for b in range(pf):
         r = None
         for dy in range(5):
             for dx in range(5):
-                blk, cdr, cdc = taps5[p][dy * 5 + dx]
-                piece = jax.lax.slice(
-                    gv, (blk * cb, LANE + rg * ws + cdr * ws + cdc),
-                    ((blk + 1) * cb, LANE + rg * ws + cdr * ws + cdc + m))
-                if masked and cdc != 0:
-                    ok = (col[:, :m] + cdc >= 0) & (col[:, :m] + cdc < gw)
+                ccol, phc = divmod(b + dx - 2, pf)
+                rowst = pl.multiple_of(
+                    (phr_ref[a, dy] * pf + phc) * cb, 16)
+                lanest = pl.multiple_of(rg * ws + offr_ref[a, dy], LANE)
+                window = gbuf[pl.ds(rowst, cb), pl.ds(lanest, m + 2 * LANE)]
+                piece = jax.lax.slice(window, (0, LANE + ccol),
+                                      (cb, LANE + ccol + m))
+                scl = cag[0, pl.ds(rowst, cb)]
+                piece = piece * scl.astype(dtype)
+                if masked and ccol != 0:
+                    ok = (col + ccol >= 0) & (col + ccol < gw)
                     piece = jnp.where(ok, piece, jnp.zeros_like(piece))
                 pbuf[pl.ds(dx * cb, cb), pl.ds(0, m)] = piece
             part = jax.lax.dot_general(
@@ -384,20 +451,38 @@ def _naf_rep_kernel(g_hbm, cag, repw, w4, s_ref, sums_ref, pbuf, *,
         rb = r.astype(dtype)
         e2 = jax.lax.dot_general(
             w4v, rb, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        s = (e2[:n].astype(dtype)
-             * jax.nn.sigmoid(e2[n:]).astype(dtype))
+        s = (e2[:n].astype(dtype) * jax.nn.sigmoid(e2[n:]).astype(dtype))
         if not masked:
             s = jnp.where(col_slack_ok(m, ws, gw), s, jnp.zeros_like(s))
-        s_ref[0, pl.ds(p * cb, n)] = s
+        s_ref[0, pl.ds(b * cb, n)] = s
         if cb != n:
-            s_ref[0, pl.ds(p * cb + n, cb - n)] = jnp.zeros((cb - n, m),
+            s_ref[0, pl.ds(b * cb + n, cb - n)] = jnp.zeros((cb - n, m),
                                                             dtype)
-        part = jnp.sum(s.astype(f32), axis=1)
-        acc_sums = part if acc_sums is None else acc_sums + part
+        pad = ((n + LANE - 1) // LANE) * LANE
+        vec = jnp.pad(jnp.sum(s.astype(f32), axis=1).reshape(1, n),
+                      ((0, 0), (0, pad - n)))
+        vec = jnp.broadcast_to(vec, (8, pad))
 
-    pad = ((n + LANE - 1) // LANE) * LANE
-    vec = jnp.pad(acc_sums.reshape(1, n), ((0, 0), (0, pad - n)))
-    sums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+        @pl.when((a == 0) & (b == 0))
+        def _():
+            sums_ref[0, 0] = vec
+
+        @pl.when((a > 0) | (b > 0))
+        def _():
+            sums_ref[0, 0] += vec
+
+
+def _rep_tables(pf, ws):
+    """Row-phase tap tables for the 5x5 RepConv: input row phase and
+    ws-multiple lane offset per (out row phase a, dy)."""
+    phr = np.zeros((pf, 5), np.int32)
+    off = np.zeros((pf, 5), np.int32)
+    for a in range(pf):
+        for dy in range(5):
+            cdr, ph = divmod(a + dy - 2, pf)
+            phr[a, dy] = ph
+            off[a, dy] = cdr * ws
+    return jnp.asarray(phr), jnp.asarray(off)
 
 
 def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, obuf, zbuf,
@@ -435,23 +520,19 @@ def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, obuf, zbuf,
 # ---------------------------------------------------------------------------
 
 
-def _gate_budget(th, ws, pf, n, cb, hcb, add_c, rg):
+def _gate_budget(th, ws, pf, n, cb, hcb, add_c, esz):
     pp = pf * pf
-    rows_e = th + 2 * rg + 2
-    m_e = rows_e * ws
-    m_g = (th + 2 * rg) * ws
+    m_e = (th + 2) * ws
+    m_g = th * ws
     need = (
-        pp * cb * (2 * LANE + m_e) * 2 +                 # ybuf
-        pp * n * (2 * LANE + m_e) * 2 +                  # ebuf
-        pp * cb * m_g * 2 +                              # g out block
-        2 * n * m_e * 4 +                                # e f32
-        n * m_g * 4 +                                    # dw0 acc f32
-        m_e * 4 * 4                                      # stats/cols
-    )
+        pp * cb * (2 * LANE + m_e) * esz +               # ybuf
+        pp * n * (2 * LANE + m_e) * esz +                # ebuf
+        pp * cb * m_g * esz +                            # obuf
+        3 * n * m_e * 4 +                                # e f32 (dot+aff)
+        2 * n * m_g * 4 +                                # dw0 acc f32
+        m_e * 4 * 4)
     if add_c:
-        need += (pp * hcb * (2 * LANE + (rows_e + 2) * ws) * 2    # hwbuf
-                 + pp * hcb * m_e * 2                             # hw2buf
-                 + hcb * m_e * 4)                                 # dwc acc
+        need += pp * hcb * (2 * LANE + m_e) * esz
     return need
 
 
@@ -471,7 +552,9 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                 eps: float = 1e-6,
                 interpret: bool | None = None) -> ChwTensor:
     """Fused CAB1 (``hw=None``) / CAB2 forward on packed layouts.
-    ``params`` is the raw NAF dict from ``_declare_naf_params``."""
+    ``params`` is the raw NAF dict from ``_declare_naf_params``; for CAB2
+    ``hw`` is the spatially-shifted extra-channel tensor (the depthwise
+    conv1 is applied here via ``dw3x3_chw``)."""
     if interpret is None:
         interpret = _interpret()
     t = y.t
@@ -482,32 +565,34 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     add_c = 0 if hw is None else hw.c
     hcb = hw.cb if hw is not None else 16
     rg = -(-2 // pf)  # ceil(2/pf): RepConv 5x5 halo in cells
-    assert padr >= rg + 2, (padr, rg)
+    assert padr >= rg, (padr, rg)
 
+    if hw is not None:
+        hw = dw3x3_chw(hw, params['dwc'].reshape(3, 3, add_c))
+
+    # Mosaic stack-allocates the unrolled per-phase temporaries without
+    # reuse (~2.3x hand-counted sums at bf16, worse at f32) — budget caps
+    # are calibrated against observed compiles per dtype.
+    esz = jnp.dtype(dtype).itemsize
+    cap = (7 if esz == 2 else 3) * 1024 * 1024
     th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
-               _gate_budget(t2, ws, pf, n, cb, hcb, add_c, rg)
-               < 10 * 1024 * 1024), None)
+               _gate_budget(t2, ws, pf, n, cb, hcb, add_c, esz) < cap),
+              next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
     assert th is not None, (gh, ws, pf, n)
     n_tiles = gh // th
     masked = (ws == gw)
-    rows_g = th + 2 * rg
     npad = ((n + LANE - 1) // LANE) * LANE
     nch = pp * cb
 
     wts = prep_naf_weights(params, n, add_c, groups, dtype, cb, hcb)
-    taps3 = [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
-             for b in range(pf)]
-    taps5 = [phase_taps(pf, pf, 5, 1, 2)[(a, b)] for a in range(pf)
-             for b in range(pf)]
-
     hw_data = hw.data if hw is not None else jnp.zeros(
         (t, pp * hcb, y.data.shape[2]), dtype)
 
     g, gsums = pl.pallas_call(
         functools.partial(
             _naf_gate_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n, cb=cb,
-            hcb=hcb, add_c=add_c, pf=pf, padr=padr, rg=rg, taps3=taps3,
-            masked=masked, eps=eps, dtype=dtype),
+            hcb=hcb, add_c=add_c, pf=pf, padr=padr, masked=masked, eps=eps,
+            dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY),
@@ -515,33 +600,31 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # wb
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # c1
                   pl.BlockSpec(memory_space=pltpu.VMEM),   # c2
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # dwc
                   pl.BlockSpec(memory_space=pltpu.VMEM)],  # dw0
         out_specs=[
-            pl.BlockSpec((1, 1, nch, 2 * LANE + rows_g * ws),
-                         lambda ti, hi: (ti, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, 8, npad), lambda ti, hi: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, n_tiles, nch, 2 * LANE + rows_g * ws),
-                                 dtype),
+            jax.ShapeDtypeStruct(y.data.shape, dtype),
             jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((pp * cb, 2 * LANE + (th + 2 * rg + 2) * ws), dtype),
-            pltpu.VMEM((pp * hcb, 2 * LANE + (th + 2 * rg + 4) * ws), dtype),
-            pltpu.VMEM((pp * hcb, (th + 2 * rg + 2) * ws), dtype),
-            pltpu.VMEM((pp * n, 2 * LANE + (th + 2 * rg + 2) * ws), dtype),
+            pltpu.VMEM((pp * cb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((pp * hcb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((pp * n, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((nch, th * ws), dtype),
+            pltpu.VMEM((nch, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(y.data, hw_data, wts['wa'], wts.get('wb', jnp.zeros((2, n, hcb),
                                                           dtype)),
-      wts['c1'], wts['c2'],
-      wts.get('dwc', jnp.zeros((9, hcb), dtype)), wts['dw0'])
+      wts['c1'], wts['c2'], wts['dw0'])
 
     n_px = y.h * y.w
     if mid_ca:
@@ -552,35 +635,41 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     cag_full = jnp.zeros((t, pp, cb), dtype).at[:, :, :n].set(
         cag[:, None, :]).reshape(t, nch, 1)
 
+    phr_tbl, offr_tbl = _rep_tables(pf, ws)
     s, sums = pl.pallas_call(
         functools.partial(_naf_rep_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n,
-                          cb=cb, pf=pf, rg=rg, taps5=taps5, masked=masked,
+                          cb=cb, pf=pf, padr=padr, rg=rg, masked=masked,
                           dtype=dtype),
-        grid=(t, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, nch, 2 * LANE + rows_g * ws),
-                         lambda ti, hi: (ti, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rep
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # w4
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, npad), lambda ti, hi: (ti, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t, n_tiles, pf),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),     # g
+                pl.BlockSpec((1, nch, 1), lambda ti, hi, p, *_: (ti, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # rep
+                pl.BlockSpec(memory_space=pltpu.VMEM),    # w4
+            ],
+            out_specs=[
+                pl.BlockSpec((1, pf * cb, th * ws),
+                             lambda ti, hi, p, *_: (ti, p, hi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, npad),
+                             lambda ti, hi, p, *_: (ti, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nch, 2 * LANE + (th + 2 * rg) * ws), dtype),
+                pltpu.VMEM((5 * cb, th * ws), dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((t, nch, gh * ws), dtype),
             jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((5 * cb, th * ws), dtype),
-        ],
         interpret=interpret,
-    )(g, cag_full, wts['rep'], wts['w4'])
+    )(phr_tbl, offr_tbl, g, cag_full, wts['rep'], wts['w4'])
 
     ca = _naf_mlp(jnp.sum(sums[:, :, 0, :n], axis=1), n_px,
                   params['du1'], params['du2'], dtype)
