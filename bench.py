@@ -27,15 +27,13 @@ def main():
 
     # Env knobs for perf sweeps; defaults are the shipping configuration.
     one_len = int(os.environ.get('SHIFTNET_BENCH_ONELEN', '36'))
-    # NHWC fused shift-block CABs measured slower than XLA (PERF.md): off.
-    fused = os.environ.get('SHIFTNET_BENCH_FUSED', '0') == '1'
     fused_tfr = os.environ.get('SHIFTNET_BENCH_TFR', '0') == '1'
     fused_chw = os.environ.get('SHIFTNET_BENCH_CHW', '1') == '1'
     halo = 2
     h, w = 720, 1280
     t = one_len + 2 * halo
 
-    model = build_model('deblur_plus', dtype=jnp.bfloat16, fused_cab=fused,
+    model = build_model('deblur_plus', dtype=jnp.bfloat16,
                         fused_tfr=fused_tfr, fused_chw=fused_chw,
                         past_frames=halo, future_frames=halo)
     rng = jax.random.PRNGKey(0)

@@ -55,9 +55,11 @@ class Evaluator:
             # ``.half()``), where the sigma=10 PSNR regime is most fragile.
             bf16 = variant != 'denoise_plus'
         overrides = dict(overrides or {})
-        # Packed-CHW fused inference path by default (falls back per-shape
-        # when the extent doesn't support it — ops/chw.py tfr_shapes_ok).
-        overrides.setdefault('fused_chw', True)
+        # Packed-CHW fused inference path by default for bf16 eval (falls
+        # back per-shape via ops/chw.py tfr_shapes_ok).  The f32 protocol
+        # (denoise_plus) stays on the XLA path: f32 doubles the kernels'
+        # VMEM footprint and forces tiny row tiles.
+        overrides.setdefault('fused_chw', bf16)
         cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo,
                                        **overrides)
         self.cfg = cfg

@@ -54,7 +54,6 @@ class GShiftNetConfig:
     conv_last_ks: int = 5           # 3 for denoise
     past_frames: int = 1            # num_fb (0 denoise train, 2 deblur test)
     future_frames: int = 1          # num_ff
-    fused_cab: bool = False         # fused Pallas shift-block CABs (inference)
     fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
     fused_chw: bool = False         # whole-network packed-CHW path (infer.)
 
@@ -110,7 +109,7 @@ class Encoder2(nn.Module):
             rounds=cfg.shift_rounds, reduction=red,
             boundary_patch=cfg.boundary_patch, mid_ca=cfg.cab_mid_ca,
             last_bias=cfg.cab_last_bias,
-            repconv_depthwise=cfg.repconv_depthwise, fused=cfg.fused_cab,
+            repconv_depthwise=cfg.repconv_depthwise,
             dtype=self.dtype)
 
         x = CAB(nf0, name='concat', **cab_kw)(x)

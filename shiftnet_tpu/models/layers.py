@@ -344,72 +344,6 @@ def naf_body(x, *, n_feat: int, kernel_size: int, reduction: int,
     return x
 
 
-def _declare_naf_params(mod, cin_ln: int, n: int, kernel_size: int,
-                        reduction: int, use_bias: bool, last_bias: bool,
-                        repconv_depthwise: bool, dtype, add_channel: int = 0,
-                        mid_ca: bool = False):
-    """Create the CAB1/CAB2 parameter tree through the regular child modules
-    (1-pixel dummy calls — negligible compute, DCE'd), then collect the raw
-    values for the fused Pallas kernel.  Guarantees the fused and layer-by-
-    layer paths share one parameter layout (and the torch converter).
-
-    Sequential indices shift by one after the gate when the denoise variants'
-    mid CALayer2 is present (torch module list, gshift_denoise1.py:224-229)."""
-    z = lambda c: jnp.zeros((1, 1, 1, c), dtype)
-    off = 1 if mid_ca else 0
-    if add_channel:
-        Conv2d(add_channel, 3, use_bias=use_bias, groups=add_channel,
-               dtype=dtype, name='conv1')(z(add_channel))
-    LayerNorm2d(cin_ln, name='norm')(z(cin_ln))
-    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype, name='body__0')(z(cin_ln))
-    RepConv2(2 * n, use_bias=use_bias, dtype=dtype, name='body__1')(z(2 * n))
-    if mid_ca:
-        CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
-                name='body__3')(z(n))
-    RepConv(n, kernel_size, use_bias=use_bias, depthwise=repconv_depthwise,
-            dtype=dtype, name=f'body__{3 + off}')(z(n))
-    Conv2d(2 * n, 1, use_bias=use_bias, dtype=dtype,
-           name=f'body__{4 + off}')(z(n))
-    CALayer(n, reduction, use_bias=use_bias, dtype=dtype,
-            name=f'body__{6 + off}')(z(n))
-    Conv2d(n, 1, use_bias=last_bias, dtype=dtype,
-           name=f'body__{7 + off}')(z(n))
-
-    v = mod.variables['params']
-    k = lambda *path: jnp.asarray(_tree_get(v, path))
-    params = {
-        'ln_w': k('norm', 'weight'),
-        'ln_b': k('norm', 'bias'),
-        'w0': k('body__0', 'conv', 'kernel').reshape(cin_ln, 2 * n),
-        'dw0': k('body__1', 'conv_2', 'conv', 'kernel')[:, :, 0, :],
-        'rep5': k(f'body__{3 + off}', 'conv_1', 'conv', 'kernel'),
-        'rep3': k(f'body__{3 + off}', 'conv_2', 'conv', 'kernel'),
-        'w4': k(f'body__{4 + off}', 'conv', 'kernel').reshape(n, 2 * n),
-        'du1': k(f'body__{6 + off}', 'conv_du__0', 'conv',
-                 'kernel').reshape(n, -1),
-        'du2': k(f'body__{6 + off}', 'conv_du__2', 'conv',
-                 'kernel').reshape(-1, n),
-        'w7': k(f'body__{7 + off}', 'conv', 'kernel').reshape(n, n),
-        'beta': jnp.asarray(v['beta']).reshape(n),
-    }
-    if mid_ca:
-        params['du1m'] = k('body__3', 'conv_du__0', 'conv',
-                           'kernel').reshape(n, -1)
-        params['du2m'] = k('body__3', 'conv_du__2', 'conv',
-                           'kernel').reshape(-1, n)
-    if last_bias:
-        params['b7'] = k(f'body__{7 + off}', 'conv', 'bias')
-    if add_channel:
-        params['dwc'] = k('conv1', 'conv', 'kernel')[:, :, 0, :]
-    return params
-
-
-def _tree_get(tree, path):
-    for comp in path:
-        tree = tree[comp]
-    return tree
-
-
 class CAB1(nn.Module):
     """``CAB1`` (``gshift_deblur1.py:183-211``): LN -> gated body, residual
     scaled by learned beta."""
@@ -420,25 +354,12 @@ class CAB1(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
-    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         beta = self.param('beta', nn.initializers.zeros,
                           (1, 1, 1, self.n_feat), jnp.float32)
-        if self.fused and self.kernel_size == 5:
-            from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
-            if pick_tile_h(x.shape[1], x.shape[2], self.n_feat, 0) is not None:
-                groups = (self.n_feat if self.repconv_depthwise
-                          else self.n_feat // 8)
-                params = _declare_naf_params(
-                    self, self.n_feat, self.n_feat, self.kernel_size,
-                    self.reduction, self.use_bias, self.last_bias,
-                    self.repconv_depthwise, self.dtype, mid_ca=self.mid_ca)
-                return cab_fused(x, None, params, groups=groups,
-                                 use_last_bias=self.last_bias,
-                                 mid_ca=self.mid_ca)
         y = LayerNorm2d(self.n_feat, name='norm')(x)
         y = naf_body(y, n_feat=self.n_feat, kernel_size=self.kernel_size,
                      reduction=self.reduction, use_bias=self.use_bias,
@@ -464,27 +385,11 @@ class CAB2(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
-    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_input, hw_input=None):
         n = self.n_feat
-        if hw_input is not None and self.fused and self.kernel_size == 5:
-            from shiftnet_tpu.ops.cab_pallas import cab_fused, pick_tile_h
-            if pick_tile_h(x_input.shape[1], x_input.shape[2], n,
-                           self.add_channel) is not None:
-                beta = self.param('beta', nn.initializers.zeros,
-                                  (1, 1, 1, n), jnp.float32)
-                groups = n if self.repconv_depthwise else n // 8
-                params = _declare_naf_params(
-                    self, n + self.add_channel, n, self.kernel_size,
-                    self.reduction, self.use_bias, self.last_bias,
-                    self.repconv_depthwise, self.dtype,
-                    add_channel=self.add_channel, mid_ca=self.mid_ca)
-                return cab_fused(x_input, hw_input, params, groups=groups,
-                                 use_last_bias=self.last_bias,
-                                 mid_ca=self.mid_ca)
         if hw_input is not None:
             x_input = jnp.concatenate([x_input, hw_input], axis=-1)
         beta = self.param('beta', nn.initializers.zeros, (1, 1, 1, n),
@@ -655,7 +560,6 @@ class EncoderShiftBlock(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
-    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -699,7 +603,7 @@ class EncoderShiftBlock(nn.Module):
         kw = dict(kernel_size=5, reduction=self.reduction,
                   use_bias=self.use_bias, mid_ca=self.mid_ca,
                   last_bias=self.last_bias,
-                  repconv_depthwise=self.repconv_depthwise, fused=self.fused,
+                  repconv_depthwise=self.repconv_depthwise,
                   dtype=self.dtype)
         for r in range(self.rounds):
             suffix = '' if r == 0 else f'_{r}'
@@ -707,14 +611,7 @@ class EncoderShiftBlock(nn.Module):
             y = temporal_channel_shift(x, reverse=reverse,
                                        boundary_patch=self.boundary_patch)
             hw = y[..., -add_c:] if reverse else y[..., :add_c]
-            if self.fused:
-                from shiftnet_tpu.ops.cab_pallas import _should_interpret
-                from shiftnet_tpu.ops.shift_pallas import (
-                    grouped_spatial_shift_pallas)
-                hw = grouped_spatial_shift_pallas(
-                    hw, number, interpret=_should_interpret())
-            else:
-                hw = grouped_spatial_shift(hw, number)
+            hw = grouped_spatial_shift(hw, number)
             x = CAB2(self.n_feat, add_c, name=f'encoder_level1{suffix}__0',
                      **kw)(y, hw)
             x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1', **kw)(x)

@@ -164,7 +164,7 @@ def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
                      groups: int, dtype, cb: int,
                      hcb: int) -> dict[str, jax.Array]:
     """Precompute kernel-side weight matrices from the declared NAF param
-    tree (``models/layers.py:_declare_naf_params``).  ``cb``/``hcb`` are
+    tree (``naf_params_from_tree``).  ``cb``/``hcb`` are
     the tensor block strides (== channel counts for pf=1 layouts)."""
     f32 = jnp.float32
     cin = n + add_c
@@ -273,6 +273,9 @@ def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
     ti = pl.program_id(0)
     hi = pl.program_id(1)
     n_tiles = pl.num_programs(1)
+    total = pl.num_programs(0) * n_tiles
+    g = ti * n_tiles + hi
+    slot = jax.lax.rem(g, 2)
     f32 = jnp.float32
     pp = pf * pf
     half = n // 2
@@ -280,32 +283,46 @@ def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
     m_e = rows_e * ws
     m_g = th * ws
 
-    cp1 = pltpu.make_async_copy(
-        y_hbm.at[ti, :, pl.ds((hi * th + padr - 1) * ws, m_e)],
-        ybuf.at[:, pl.ds(LANE, m_e)], sem)
-    cp1.start()
-    if add_c:
-        cp2 = pltpu.make_async_copy(
-            hw2_hbm.at[ti, :, pl.ds((hi * th + padr - 1) * ws, m_e)],
-            hwbuf.at[:, pl.ds(LANE, m_e)], sem2)
-        cp2.start()
+    def start_reads(gg, sl):
+        ti2 = gg // n_tiles
+        lane0 = (jax.lax.rem(gg, n_tiles) * th + padr - 1) * ws
+        pltpu.make_async_copy(
+            y_hbm.at[ti2, :, pl.ds(lane0, m_e)],
+            ybuf.at[sl, :, pl.ds(LANE, m_e)], sem.at[sl]).start()
+        if add_c:
+            pltpu.make_async_copy(
+                hw2_hbm.at[ti2, :, pl.ds(lane0, m_e)],
+                hwbuf.at[sl, :, pl.ds(LANE, m_e)], sem2.at[sl]).start()
 
-    @pl.when(ti + hi == 0)
+    @pl.when(g == 0)
     def _():
-        ybuf[:, :LANE] = jnp.zeros((ybuf.shape[0], LANE), dtype)
-        ybuf[:, LANE + m_e:] = jnp.zeros((ybuf.shape[0], LANE), dtype)
-        hwbuf[:, :LANE] = jnp.zeros((hwbuf.shape[0], LANE), dtype)
-        hwbuf[:, LANE + m_e:] = jnp.zeros((hwbuf.shape[0], LANE), dtype)
+        ybuf[...] = jnp.zeros_like(ybuf)
+        hwbuf[...] = jnp.zeros_like(hwbuf)
         ebuf[:, :LANE] = jnp.zeros((ebuf.shape[0], LANE), dtype)
         ebuf[:, LANE + m_e:] = jnp.zeros((ebuf.shape[0], LANE), dtype)
         zbuf[...] = jnp.zeros_like(zbuf)
-        if obuf.shape[0] != pp * n:
-            obuf[...] = jnp.zeros_like(obuf)
-    cp1.wait()
-    yv = ybuf[...]
+        obuf[...] = jnp.zeros_like(obuf)
+        start_reads(0, 0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_reads(g + 1, jax.lax.rem(g + 1, 2))
+
+    @pl.when(g >= 2)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+            osem.at[slot]).wait()
+
+    pltpu.make_async_copy(
+        y_hbm.at[0, :, pl.ds(0, m_e)],
+        ybuf.at[slot, :, pl.ds(LANE, m_e)], sem.at[slot]).wait()
+    yv = ybuf[slot]
     if add_c:
-        cp2.wait()
-        hv = hwbuf[...]
+        pltpu.make_async_copy(
+            hw2_hbm.at[0, :, pl.ds(0, m_e)],
+            hwbuf.at[slot, :, pl.ds(LANE, m_e)], sem2.at[slot]).wait()
+        hv = hwbuf[slot]
 
     cin = n + add_c
     stats = []
@@ -365,22 +382,54 @@ def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
                     piece = jnp.where(ok, piece, jnp.zeros_like(piece))
                 d = d + piece.astype(f32) * jax.lax.slice(
                     dw0[k], (0, i), (n, i + 1)).astype(f32)
-            g = (jax.lax.slice(d, (0, 0), (half, m_g))
-                 * jax.lax.slice(d, (half, 0), (n, m_g)))
+            gval = (jax.lax.slice(d, (0, 0), (half, m_g))
+                    * jax.lax.slice(d, (half, 0), (n, m_g)))
             if not masked:
-                g = jnp.where(col_slack_ok(m_g, ws, gw), g,
-                              jnp.zeros_like(g))
-            g = g.astype(dtype)
-            obuf[pl.ds(p * cb + k * half, half), :] = g
-            part = jnp.sum(g.astype(f32), axis=1)
+                gval = jnp.where(col_slack_ok(m_g, ws, gw), gval,
+                                 jnp.zeros_like(gval))
+            obuf[slot, pl.ds(p * cb + k * half, half), :] = \
+                gval.astype(dtype)
+            part = jnp.sum(gval.astype(f32), axis=1)
             gs_acc[k] = part if gs_acc[k] is None else gs_acc[k] + part
 
     pad = ((n + LANE - 1) // LANE) * LANE
     vec = jnp.concatenate([gs_acc[0], gs_acc[1]]).reshape(1, n)
     vec = jnp.pad(vec, ((0, 0), (0, pad - n)))
     gsums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
-    _emit_tile(g_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
-               padr, gh)
+
+    # deferred tile write: start now, wait two programs later (slot reuse)
+    pltpu.make_async_copy(
+        obuf.at[slot],
+        g_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m_g)],
+        osem.at[slot]).start()
+
+    @pl.when(hi == 0)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf.at[:, pl.ds(0, padr * ws)],
+            g_hbm.at[ti, :, pl.ds(0, padr * ws)], zsem)
+        zp.start()
+        zp.wait()
+
+    @pl.when(hi == n_tiles - 1)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf, g_hbm.at[ti, :, pl.ds((padr + gh) * ws, zbuf.shape[1])],
+            zsem)
+        zp.start()
+        zp.wait()
+
+    @pl.when(g == total - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+            osem.at[slot]).wait()
+
+    @pl.when((g == total - 1) & (total > 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[1 - slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+            osem.at[1 - slot]).wait()
 
 
 _TAPS3 = {pf: [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
@@ -404,23 +453,35 @@ def _naf_rep_kernel(phr_ref, offr_ref, g_hbm, cag, repw, w4, s_ref,
     ti = pl.program_id(0)
     hi = pl.program_id(1)
     a = pl.program_id(2)
+    n_tiles = pl.num_programs(1)
+    tiles_total = pl.num_programs(0) * n_tiles
+    tj = ti * n_tiles + hi
+    tslot = jax.lax.rem(tj, 2)
     f32 = jnp.float32
     m = th * ws
     rows_in = th + 2 * rg
 
+    def start_slab(tt, sl):
+        ti2 = tt // n_tiles
+        lane0 = (jax.lax.rem(tt, n_tiles) * th + padr - rg) * ws
+        pltpu.make_async_copy(
+            g_hbm.at[ti2, :, pl.ds(lane0, rows_in * ws)],
+            gbuf.at[sl, :, pl.ds(LANE, rows_in * ws)], sem.at[sl]).start()
+
     @pl.when(a == 0)
     def _():
-        @pl.when(ti + hi == 0)
+        @pl.when(tj == 0)
         def _():
-            gbuf[:, :LANE] = jnp.zeros((gbuf.shape[0], LANE), dtype)
-            gbuf[:, LANE + rows_in * ws:] = jnp.zeros(
-                (gbuf.shape[0], LANE), dtype)
-        cp = pltpu.make_async_copy(
-            g_hbm.at[ti, :, pl.ds((hi * th + padr - rg) * ws,
-                                  rows_in * ws)],
-            gbuf.at[:, pl.ds(LANE, rows_in * ws)], sem)
-        cp.start()
-        cp.wait()
+            gbuf[...] = jnp.zeros_like(gbuf)
+            start_slab(0, 0)
+
+        @pl.when(tj + 1 < tiles_total)
+        def _():
+            start_slab(tj + 1, jax.lax.rem(tj + 1, 2))
+        pltpu.make_async_copy(
+            g_hbm.at[0, :, pl.ds(0, rows_in * ws)],
+            gbuf.at[tslot, :, pl.ds(LANE, rows_in * ws)],
+            sem.at[tslot]).wait()
 
     repv = repw[...]
     w4v = w4[...]
@@ -434,9 +495,10 @@ def _naf_rep_kernel(phr_ref, offr_ref, g_hbm, cag, repw, w4, s_ref,
                 rowst = pl.multiple_of(
                     (phr_ref[a, dy] * pf + phc) * cb, 16)
                 lanest = pl.multiple_of(rg * ws + offr_ref[a, dy], LANE)
-                window = gbuf[pl.ds(rowst, cb), pl.ds(lanest, m + 2 * LANE)]
-                piece = jax.lax.slice(window, (0, LANE + ccol),
-                                      (cb, LANE + ccol + m))
+                window = gbuf[pl.ds(tslot, 1), pl.ds(rowst, cb),
+                              pl.ds(lanest, m + 2 * LANE)]
+                piece = jax.lax.slice(window, (0, 0, LANE + ccol),
+                                      (1, cb, LANE + ccol + m))[0]
                 scl = cag[0, pl.ds(rowst, cb)]
                 piece = piece * scl.astype(dtype)
                 if masked and ccol != 0:
@@ -485,22 +547,47 @@ def _rep_tables(pf, ws):
     return jnp.asarray(phr), jnp.asarray(off)
 
 
-def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, obuf, zbuf,
-                     sem, osem, zsem, *, th, ws, gh, n, cb, pf, padr,
+def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, ibuf, obuf,
+                     zbuf, sem, osem, zsem, *, th, ws, gh, n, cb, pf, padr,
                      dtype):
+    """out = shortcut + beta * (w7 @ (s * ca) + b7), pipelined: 2-slot
+    lookahead reads of the shortcut, deferred 2-slot tile writes."""
     ti = pl.program_id(0)
     hi = pl.program_id(1)
     n_tiles = pl.num_programs(1)
+    total = pl.num_programs(0) * n_tiles
+    g = ti * n_tiles + hi
+    slot = jax.lax.rem(g, 2)
     f32 = jnp.float32
     pp = pf * pf
     m = th * ws
 
-    cp = pltpu.make_async_copy(
-        y_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m)], obuf, sem)
-    cp.start()
-    zbuf[...] = jnp.zeros_like(zbuf)
+    def start_read(gg, sl):
+        ti2 = gg // n_tiles
+        lane0 = (jax.lax.rem(gg, n_tiles) * th + padr) * ws
+        pltpu.make_async_copy(
+            y_hbm.at[ti2, :, pl.ds(lane0, m)], ibuf.at[sl],
+            sem.at[sl]).start()
+
+    @pl.when(g == 0)
+    def _():
+        zbuf[...] = jnp.zeros_like(zbuf)
+        start_read(0, 0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_read(g + 1, jax.lax.rem(g + 1, 2))
+
+    @pl.when(g >= 2)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[0, :, pl.ds(0, m)],
+            osem.at[slot]).wait()
+
     scaled = s_ref[0] * ca[0].astype(dtype)
-    cp.wait()
+    pltpu.make_async_copy(
+        y_hbm.at[0, :, pl.ds(0, m)], ibuf.at[slot], sem.at[slot]).wait()
+    iv = ibuf[slot]
 
     for p in range(pp):
         sp = jax.lax.slice(scaled, (p * cb, 0), ((p + 1) * cb, m))
@@ -508,11 +595,44 @@ def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, obuf, zbuf,
             w7[...], sp, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         y7 = (y7 + b7[...].astype(f32)) * beta[...].astype(f32)
-        short = obuf[pl.ds(p * cb, n), :]
-        obuf[pl.ds(p * cb, n), :] = (short.astype(f32) + y7).astype(dtype)
+        short = jax.lax.slice(iv, (p * cb, 0), (p * cb + n, m))
+        obuf[slot, pl.ds(p * cb, n), :] = (short.astype(f32)
+                                           + y7).astype(dtype)
+        if cb != n:
+            obuf[slot, pl.ds(p * cb + n, cb - n), :] = jnp.zeros(
+                (cb - n, m), dtype)
 
-    _emit_tile(out_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
-               padr, gh)
+    pltpu.make_async_copy(
+        obuf.at[slot], out_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m)],
+        osem.at[slot]).start()
+
+    @pl.when(hi == 0)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf.at[:, pl.ds(0, padr * ws)],
+            out_hbm.at[ti, :, pl.ds(0, padr * ws)], zsem)
+        zp.start()
+        zp.wait()
+
+    @pl.when(hi == n_tiles - 1)
+    def _():
+        zp = pltpu.make_async_copy(
+            zbuf, out_hbm.at[ti, :, pl.ds((padr + gh) * ws, zbuf.shape[1])],
+            zsem)
+        zp.start()
+        zp.wait()
+
+    @pl.when(g == total - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[0, :, pl.ds(0, m)],
+            osem.at[slot]).wait()
+
+    @pl.when((g == total - 1) & (total > 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[1 - slot], out_hbm.at[0, :, pl.ds(0, m)],
+            osem.at[1 - slot]).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -525,14 +645,14 @@ def _gate_budget(th, ws, pf, n, cb, hcb, add_c, esz):
     m_e = (th + 2) * ws
     m_g = th * ws
     need = (
-        pp * cb * (2 * LANE + m_e) * esz +               # ybuf
+        2 * pp * cb * (2 * LANE + m_e) * esz +           # ybuf (2 slots)
         pp * n * (2 * LANE + m_e) * esz +                # ebuf
-        pp * cb * m_g * esz +                            # obuf
+        2 * pp * cb * m_g * esz +                        # obuf (2 slots)
         3 * n * m_e * 4 +                                # e f32 (dot+aff)
         2 * n * m_g * 4 +                                # dw0 acc f32
         m_e * 4 * 4)
     if add_c:
-        need += pp * hcb * (2 * LANE + m_e) * esz
+        need += 2 * pp * hcb * (2 * LANE + m_e) * esz
     return need
 
 
@@ -552,7 +672,7 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                 eps: float = 1e-6,
                 interpret: bool | None = None) -> ChwTensor:
     """Fused CAB1 (``hw=None``) / CAB2 forward on packed layouts.
-    ``params`` is the raw NAF dict from ``_declare_naf_params``; for CAB2
+    ``params`` is the raw NAF dict from ``naf_params_from_tree``; for CAB2
     ``hw`` is the spatially-shifted extra-channel tensor (the depthwise
     conv1 is applied here via ``dw3x3_chw``)."""
     if interpret is None:
@@ -611,14 +731,14 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((pp * cb, 2 * LANE + (th + 2) * ws), dtype),
-            pltpu.VMEM((pp * hcb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((2, pp * cb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((2, pp * hcb, 2 * LANE + (th + 2) * ws), dtype),
             pltpu.VMEM((pp * n, 2 * LANE + (th + 2) * ws), dtype),
-            pltpu.VMEM((nch, th * ws), dtype),
+            pltpu.VMEM((2, nch, th * ws), dtype),
             pltpu.VMEM((nch, padr * ws + TAIL), dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -659,9 +779,9 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((nch, 2 * LANE + (th + 2 * rg) * ws), dtype),
+                pltpu.VMEM((2, nch, 2 * LANE + (th + 2 * rg) * ws), dtype),
                 pltpu.VMEM((5 * cb, th * ws), dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[
@@ -694,10 +814,11 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(y.data.shape, dtype),
         scratch_shapes=[
-            pltpu.VMEM((nch, th * ws), dtype),
+            pltpu.VMEM((2, nch, th * ws), dtype),
+            pltpu.VMEM((2, nch, th * ws), dtype),
             pltpu.VMEM((nch, padr * ws + TAIL), dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -712,7 +833,7 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
     """``Encoder_shift_block`` (``gshift_deblur1.py:440-547``) on the packed
     layout: ``rounds`` x [temporal shift -> grouped spatial shift -> CAB2 ->
     CAB1], alternating direction.  ``cab_params``: [(cab2_naf, cab1_naf)]
-    per round from ``_declare_naf_params``."""
+    per round from ``naf_params_from_tree``."""
     n = x.c
     number = n // 2 // 8
     add_c = 8 * number
@@ -735,8 +856,7 @@ def naf_params_from_tree(tree: dict, *, mid_ca: bool = False,
                          last_bias: bool = False,
                          add_c: int = 0) -> dict[str, jax.Array]:
     """Collect the raw NAF matrices from a CAB1/CAB2 flax param subtree
-    (torch-mirrored names; same extraction as
-    ``models/layers.py:_declare_naf_params``)."""
+    (torch-mirrored names)."""
     off = 1 if mid_ca else 0
 
     def k(*path):
