@@ -46,8 +46,14 @@ def main():
     def forward(params, x):
         return model.apply({'params': params}, x)
 
-    tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
-             for in_sl, _, _ in half_slices(h, w)]
+    if os.environ.get('SHIFTNET_BENCH_FULLFRAME', '1') == '1':
+        # Dense packed-CHW activations are ~3-5x smaller than the NHWC
+        # padded ones — a full 720p window fits the 16 GB HBM, dropping
+        # the half-tile overlap waste entirely.
+        tiles = [video]
+    else:
+        tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
+                 for in_sl, _, _ in half_slices(h, w)]
 
     # Compile + warmup; then DRAIN via a data fetch: on this backend
     # block_until_ready can return before execution finishes, so only an
