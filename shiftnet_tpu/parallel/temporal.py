@@ -10,8 +10,15 @@ halo=2.
 Here the windows run *concurrently*: the video's frame axis is sharded over
 the mesh 'time' axis with shard_map, each device fetches its neighbors' edge
 frames via ``jax.lax.ppermute`` (ICI), runs the local forward on
-``local_T + 2*halo`` frames, and keeps its center.  Output equals the
-reference's windowed inference with window = T/num_devices, bit-for-bit.
+``local_T + 2*halo`` frames, and keeps its center.  For *interior* output
+frames (``[halo, T - halo)``) this equals the reference's windowed inference
+with window = T/num_devices, bit-for-bit.  Edge handling differs: the
+reference never predicts the first/last ``halo`` frames at all (its windows
+use only real frames as halos and simply drop the video edges,
+``inference/test_deblur.py:111-120``), whereas the edge shards here
+clamp-replicate the boundary frame as its own halo and DO emit all ``T``
+outputs.  Slice ``out[halo:-halo]`` for the strictly reference-comparable
+region.
 """
 from __future__ import annotations
 
