@@ -409,7 +409,7 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
                           cb=cb, h=h, padr=padr, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # x (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
             pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
@@ -440,13 +440,13 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
                           padr=padr, h=h, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # x (HBM)
             pl.BlockSpec((1, cb, th * ws), lambda ti, hi: (ti, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb, 1), lambda ti, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),   # ca
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((t, cb, lp), dtype),
         scratch_shapes=[
             pltpu.VMEM((cb, th * ws), dtype),
@@ -454,6 +454,10 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # out = x + ...: each tile is read before it is written, so the
+        # shortcut buffer can be reused in place (saves one full activation
+        # in HBM whenever x is dead afterwards — XLA copies otherwise).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(x.data, s, ca_b.reshape(t, cb, 1))
     return ChwTensor(out, h, w, padr, 1, c)
@@ -709,13 +713,13 @@ def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
                           padr=padr, h=gh, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((t, nch, lp), dtype),
         scratch_shapes=[
             pltpu.VMEM((nch, th * ws), dtype),
@@ -723,6 +727,8 @@ def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # in-place over the shortcut (read-before-write per tile).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(x.data, s, _expand_ca(ca, x.pf, x.c, x.cb).astype(dtype))
     return ChwTensor(out, x.h, x.w, padr, x.pf, x.c)
@@ -754,7 +760,7 @@ def _cab_chw_s2d(x: ChwTensor, params: dict[str, Any],
                           taps2=taps, masked=masked, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w1
             pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
@@ -872,12 +878,12 @@ def conv_chw(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
                           use_prelu=alpha is not None, dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wlhs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
             pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2 * halo) * ws),
@@ -1102,11 +1108,11 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
                           dtype=dtype),
         grid=(t, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x
-            pl.BlockSpec(memory_space=pltpu.ANY),    # skip
+            pl.BlockSpec(memory_space=pl.ANY),    # x
+            pl.BlockSpec(memory_space=pl.ANY),    # skip
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w 1x1
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, pf * pf * cb, 2 * LANE + (th + 2) * ws), dtype),
@@ -1119,6 +1125,9 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # out = up + skip: skip tile hi is read (and waited on) before the
+        # same tile is written, so the skip buffer is reused in place.
+        input_output_aliases={1: 0},
         interpret=interpret,
     )(x.data, skip.data, w11)
     return ChwTensor(out, skip.h, skip.w, padr, pf_out, c_out)

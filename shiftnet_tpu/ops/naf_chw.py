@@ -50,22 +50,26 @@ from shiftnet_tpu.ops.shift import shift_dir_table
 def temporal_shift_chw(x: ChwTensor, *, reverse: bool = False,
                        boundary_patch: bool = True) -> ChwTensor:
     """Temporal half-channel shift (``gshift_deblur1.py:504-519``) on the
-    flat layout: a pure channel-block concat across frames (dense copies;
-    lanes untouched)."""
+    flat layout: a channel-block concat across frames.  The boundary patch
+    is a fused per-frame SELECT (not another whole-tensor concat — that
+    cost a full extra HBM round trip, measured 7.7 -> ~2 ms/round at the
+    720p L1 shape)."""
     n = x.c
     cb = x.cb
     pp = x.pf * x.pf
-    d = x.data.reshape(x.t, pp, cb, -1)
+    t = x.t
+    d = x.data.reshape(t, pp, cb, -1)
     lo, hi = d[:, :, : n // 2], d[:, :, n // 2: n]
     pad = d[:, :, n:]
     if not reverse:
         y = jnp.concatenate([jnp.roll(hi, 1, axis=0), lo, pad], axis=2)
-        if boundary_patch:
-            y = jnp.concatenate([d[0:1], y[1:]], axis=0)
+        patch_frame = 0
     else:
         y = jnp.concatenate([hi, jnp.roll(lo, -1, axis=0), pad], axis=2)
-        if boundary_patch:
-            y = jnp.concatenate([y[:-1], d[-1:]], axis=0)
+        patch_frame = t - 1
+    if boundary_patch:
+        tmask = (jnp.arange(t) == patch_frame).reshape(t, 1, 1, 1)
+        y = jnp.where(tmask, d, y)
     return ChwTensor(y.reshape(x.data.shape), x.h, x.w, x.padr, x.pf, x.c)
 
 
@@ -83,43 +87,104 @@ def extract_hw_chw(y: ChwTensor, add_c: int, *, reverse: bool) -> ChwTensor:
                      y.pf, add_c)
 
 
+def _lane_ok(lp, ws, gw, gh, padr, dtype):
+    """(1, lp) validity mask restoring the layout's zero-pad invariant."""
+    lane_ok = np.zeros((1, lp), np.float32)
+    body = np.zeros(((gh + 2 * padr), ws), np.float32)
+    body[padr: padr + gh, :gw] = 1.0
+    lane_ok[0, : (gh + 2 * padr) * ws] = body.reshape(-1)
+    return jnp.asarray(lane_ok, dtype)
+
+
+def _shift_pieces(src, pad_lanes, base_rows, number, pf, ws, gw, slack, lp,
+                  t, dtype, colc):
+    """Per-direction channel-group slices of ``src`` (lane-padded), shifted
+    and column-masked; returns them in channel order (they partition
+    ``[0, 8*number)``)."""
+    pieces = []
+    for c0, csz, dy, dx in shift_dir_table(number):
+        if csz == 0:
+            continue
+        assert dy % pf == 0 and dx % pf == 0
+        dc = dx // pf
+        off = pad_lanes - (dy // pf) * ws - dc
+        sl = jax.lax.slice(src, (0, base_rows + c0, off),
+                           (t, base_rows + c0 + csz, off + lp))
+        if abs(dc) > slack:
+            # out col cc reads source col cc - dc; out-of-image sources
+            # are NOT covered by the slack zeros for this direction.
+            ok = ((colc - dc >= 0) & (colc - dc < gw)).reshape(1, 1, lp)
+            sl = sl * jnp.asarray(ok, dtype)
+        pieces.append(sl)
+    return pieces
+
+
 def grouped_spatial_shift_chw(hw: ChwTensor, number: int) -> ChwTensor:
     """24-direction grouped spatial shift (``gshift_deblur1.py:470-503``)
     on the packed layout.  Every shift is a multiple of 4, so with pf in
-    {1, 2, 4} the shifts are whole grid cells and phase-preserving: the op
-    is a mask-accumulate over lane-offset slices of one padded copy, fused
-    by XLA into a single dense loop.  Out-of-image rows/cols land in the
-    zero pad rows / slack columns automatically; a final lane-validity mask
-    restores the layout's zero-pad invariant."""
+    {1, 2, 4} the shifts are whole grid cells and phase-preserving: each
+    direction's channel group is a lane-offset *slice* of one padded copy,
+    and the groups partition the channel range, so the op is a channel
+    CONCAT of shifted slices — the source is read once (the earlier
+    mask-accumulate form read it 24 times).  Narrow channel slices are
+    fine in this layout: channels live on sublanes, not lanes.  Columns
+    use the slack-column zeros when the slack covers the shift distance
+    and an explicit per-direction validity mask otherwise (slack < shift,
+    e.g. lane-aligned widths where ``ws == gw`` would wrap into the
+    adjacent row's real edge pixels); a final lane-validity mask restores
+    the layout's zero-pad invariant."""
     pf, ws, gw, gh, padr = hw.pf, hw.ws, hw.gw, hw.gh, hw.padr
     assert 8 % pf == 0
     t, nch, lp = hw.data.shape
     cb = hw.cb
     s = 8 // pf  # max shift in cells
-    rows = lp // ws  # includes pad rows (+ tail remainder ignored below)
+    slack = ws - gw
     pad_lanes = s * ws + s
     src = jnp.pad(hw.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
+    colc = np.arange(lp, dtype=np.int64) % ws  # cell column per output lane
+    dtype = hw.data.dtype
 
-    out = None
-    for c0, csz, dy, dx in shift_dir_table(number):
-        if csz == 0:
-            continue
-        assert dy % pf == 0 and dx % pf == 0
-        off = pad_lanes - (dy // pf) * ws - (dx // pf)
-        sl = jax.lax.slice(src, (0, 0, off), (t, nch, off + lp))
-        mask = np.zeros((nch, 1), np.float32)
-        for p in range(pf * pf):
-            mask[p * cb + c0: p * cb + c0 + csz] = 1.0
-        term = sl * jnp.asarray(mask, hw.data.dtype)
-        out = term if out is None else out + term
-
-    # restore zero pads: pad rows, slack cols, tail
-    lane_ok = np.zeros((1, lp), np.float32)
-    body = np.zeros(((gh + 2 * padr), ws), np.float32)
-    body[padr: padr + gh, :gw] = 1.0
-    lane_ok[0, : (gh + 2 * padr) * ws] = body.reshape(-1)
-    out = out * jnp.asarray(lane_ok, hw.data.dtype)
+    blocks = []
+    zpad = jnp.zeros((t, cb - hw.c, lp), dtype)
+    for p in range(pf * pf):
+        blocks += _shift_pieces(src, pad_lanes, p * cb, number, pf, ws, gw,
+                                slack, lp, t, dtype, colc)
+        if cb != hw.c:
+            blocks.append(zpad)
+    out = jnp.concatenate(blocks, axis=1)
+    out = out * _lane_ok(lp, ws, gw, gh, padr, dtype)
     return ChwTensor(out, hw.h, hw.w, padr, pf, hw.c)
+
+
+def gsts_hw_chw(y: ChwTensor, add_c: int, number: int, *,
+                reverse: bool) -> ChwTensor:
+    """Fused ``extract_hw_chw`` + ``grouped_spatial_shift_chw``: builds the
+    spatially-shifted extra-channel tensor directly from the temporally
+    shifted ``y`` (one concat of shifted channel-group slices; no
+    intermediate extract tensor)."""
+    pf, ws, gw, gh, padr = y.pf, y.ws, y.gw, y.gh, y.padr
+    assert 8 % pf == 0
+    t, nch, lp = y.data.shape
+    cb = y.cb
+    s = 8 // pf
+    slack = ws - gw
+    pad_lanes = s * ws + s
+    src = jnp.pad(y.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
+    colc = np.arange(lp, dtype=np.int64) % ws
+    dtype = y.data.dtype
+    base = 0 if not reverse else y.c - add_c
+    hcb = cpad16(add_c)
+
+    blocks = []
+    zpad = jnp.zeros((t, hcb - add_c, lp), dtype)
+    for p in range(pf * pf):
+        blocks += _shift_pieces(src, pad_lanes, p * cb + base, number, pf,
+                                ws, gw, slack, lp, t, dtype, colc)
+        if hcb != add_c:
+            blocks.append(zpad)
+    out = jnp.concatenate(blocks, axis=1)
+    out = out * _lane_ok(lp, ws, gw, gh, padr, dtype)
+    return ChwTensor(out, y.h, y.w, padr, pf, add_c)
 
 
 # ---------------------------------------------------------------------------
@@ -183,21 +248,25 @@ def prep_naf_weights(params: dict[str, Any], n: int, add_c: int,
 
     wa, wb, c1c, c2c, dw0c = [], [], [], [], []
     dw0 = params['dw0'].reshape(9, 2 * n).astype(f32)
+    nr = n + 8  # +1 ones-row (LN channel-sum riding the expand matmul,
+    # free: MXU pads M to 128 anyway), padded to a sublane multiple
     for k in range(2):
         rows = jnp.asarray(chunk_rows(k))
         m = wg[rows]                                  # (n, cin)
-        ya = jnp.zeros((n, cb), f32).at[:, :n].set(m[:, :n])
+        ya = jnp.zeros((nr, cb), f32).at[:n, :n].set(m[:, :n])
+        ya = ya.at[n, :].set(1.0)  # s1 row (channel pad rows are zero)
         wa.append(ya)
         if add_c:
-            yb = jnp.zeros((n, hcb), f32).at[:, :add_c].set(m[:, n:])
+            yb = jnp.zeros((nr, hcb), f32).at[:n, :add_c].set(m[:, n:])
+            yb = yb.at[n, :].set(1.0)
             wb.append(yb)
         c1c.append(c1[rows])
         c2c.append(c2[rows])
         dw0c.append(dw0[:, rows])                     # (9, n)
     out = {
-        'wa': jnp.stack(wa).astype(dtype),            # (2, n, cb)
-        'c1': jnp.stack(c1c).astype(f32),             # (2, n)
-        'c2': jnp.stack(c2c).astype(f32),
+        'wa': jnp.stack(wa).astype(dtype),            # (2, nr, cb)
+        'c1': jnp.stack(c1c).reshape(2, n, 1).astype(f32),
+        'c2': jnp.stack(c2c).reshape(2, n, 1).astype(f32),
         'dw0': jnp.stack([m.T for m in dw0c]).astype(dtype),  # (2, n, 9)
         'rep': _dense_rep(params['rep5'], params['rep3'], n, groups, dtype,
                           cb),
@@ -233,9 +302,11 @@ def dw3x3_chw(x: ChwTensor, w: jax.Array) -> ChwTensor:
     taps = [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
             for b in range(pf)]
     pad_lanes = 2 * ws
+    slack = ws - gw
     src = jnp.pad(x.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
     src = src.reshape(t, pp, cb, -1)
     wt = jnp.asarray(w, jnp.float32).reshape(9, c)
+    colc = np.arange(lp, dtype=np.int64) % ws  # cell column per output lane
 
     outs = []
     for p in range(pp):
@@ -245,6 +316,12 @@ def dw3x3_chw(x: ChwTensor, w: jax.Array) -> ChwTensor:
             sl = jax.lax.slice(src, (0, blk, 0, off),
                                (t, blk + 1, c, off + lp))
             term = sl.astype(jnp.float32) * wt[i].reshape(1, 1, c, 1)
+            if abs(cdc) > slack:
+                # out col cc reads source col cc + cdc: without slack the
+                # edge tap wraps into the neighboring row — mask it.
+                ok = ((colc + cdc >= 0) & (colc + cdc < gw)).reshape(
+                    1, 1, 1, lp)
+                term = term * jnp.asarray(ok, jnp.float32)
             acc = term if acc is None else acc + term
         outs.append(jnp.pad(acc, ((0, 0), (0, 0), (0, cb - c), (0, 0))))
     out = jnp.concatenate(outs, axis=1).reshape(t, nch, lp)
@@ -263,25 +340,40 @@ def dw3x3_chw(x: ChwTensor, w: jax.Array) -> ChwTensor:
 # ---------------------------------------------------------------------------
 
 
-def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
-                     ybuf, hwbuf, ebuf, obuf, zbuf, sem, sem2, osem, zsem,
-                     *, th, ws, gw, gh, n, cb, hcb, add_c, pf, padr,
-                     masked, eps, dtype):
-    """LN-folded 1x1 expand -> RepConv2 (dw 3x3 + id) -> SimpleGate, in two
-    channel chunks (the SimpleGate pairs channel i with i+n, so chunk k
-    computes expand rows [k*n/2,(k+1)*n/2) u [n+k*n/2, ...))."""
+def _naf_gate_kernel(y_hbm, hw_hbm, wa, wb, c1, c2, dw0, dwc, g_hbm,
+                     gsums_ref, ybuf, hwbuf, hw2buf, ebuf, obuf, zbuf,
+                     sem, sem2, osem, zsem, *, th, ws, gw, gh,
+                     n, cb, hcb, add_c, pf, padr, masked, eps, dtype):
+    """LN-folded 1x1 expand -> RepConv2 (dw 3x3 + id) -> SimpleGate.
+
+    The SimpleGate pairs channel i with i+n, so chunk k computes expand
+    rows [k*n/2,(k+1)*n/2) u [n+k*n/2, ...); the chunk axis is the
+    innermost GRID axis (the y slab persists in scratch across both chunk
+    programs) and the expand runs as a ``fori_loop`` over phases — both
+    keep Mosaic's no-reuse stack allocation to ONE phase/chunk of
+    temporaries, which is what buys large row tiles (VMEM is the binding
+    constraint at the 720p L1 scale).  The LN channel sum rides the expand
+    matmul as an appended ones-row (``prep_naf_weights``): M pads to 128
+    on the MXU anyway, so s1 is free; only the square-sum s2 needs a VPU
+    pass.  For CAB2, the depthwise 3x3 over the shifted channels
+    (reference ``conv1``) runs IN-KERNEL on the raw hw slab (one extra
+    halo cell) instead of as a separate XLA pass — that pass was ~40% of
+    the v1 CAB2 gate time at the 720p L1 scale."""
     ti = pl.program_id(0)
     hi = pl.program_id(1)
+    kk = pl.program_id(2)
     n_tiles = pl.num_programs(1)
-    total = pl.num_programs(0) * n_tiles
-    g = ti * n_tiles + hi
-    slot = jax.lax.rem(g, 2)
+    tiles_total = pl.num_programs(0) * n_tiles
+    tj = ti * n_tiles + hi
+    slot = jax.lax.rem(tj, 2)
     f32 = jnp.float32
     pp = pf * pf
     half = n // 2
     rows_e = th + 2
     m_e = rows_e * ws
+    m_h = (th + 4) * ws       # raw hw slab: +1 cell halo for the dw 3x3
     m_g = th * ws
+    cin = n + add_c
 
     def start_reads(gg, sl):
         ti2 = gg // n_tiles
@@ -290,55 +382,58 @@ def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
             y_hbm.at[ti2, :, pl.ds(lane0, m_e)],
             ybuf.at[sl, :, pl.ds(LANE, m_e)], sem.at[sl]).start()
         if add_c:
+            lane0h = (jax.lax.rem(gg, n_tiles) * th + padr - 2) * ws
             pltpu.make_async_copy(
-                hw2_hbm.at[ti2, :, pl.ds(lane0, m_e)],
-                hwbuf.at[sl, :, pl.ds(LANE, m_e)], sem2.at[sl]).start()
+                hw_hbm.at[ti2, :, pl.ds(lane0h, m_h)],
+                hwbuf.at[sl, :, pl.ds(LANE, m_h)], sem2.at[sl]).start()
 
-    @pl.when(g == 0)
+    @pl.when(kk == 0)
     def _():
-        ybuf[...] = jnp.zeros_like(ybuf)
-        hwbuf[...] = jnp.zeros_like(hwbuf)
-        ebuf[:, :LANE] = jnp.zeros((ebuf.shape[0], LANE), dtype)
-        ebuf[:, LANE + m_e:] = jnp.zeros((ebuf.shape[0], LANE), dtype)
-        zbuf[...] = jnp.zeros_like(zbuf)
-        obuf[...] = jnp.zeros_like(obuf)
-        start_reads(0, 0)
+        @pl.when(tj == 0)
+        def _():
+            ybuf[...] = jnp.zeros_like(ybuf)
+            hwbuf[...] = jnp.zeros_like(hwbuf)
+            ebuf[:, :LANE] = jnp.zeros((ebuf.shape[0], LANE), dtype)
+            ebuf[:, LANE + m_e:] = jnp.zeros((ebuf.shape[0], LANE), dtype)
+            zbuf[...] = jnp.zeros_like(zbuf)
+            obuf[...] = jnp.zeros_like(obuf)
+            start_reads(0, 0)
 
-    @pl.when(g + 1 < total)
-    def _():
-        start_reads(g + 1, jax.lax.rem(g + 1, 2))
+        @pl.when(tj + 1 < tiles_total)
+        def _():
+            start_reads(tj + 1, jax.lax.rem(tj + 1, 2))
 
-    @pl.when(g >= 2)
-    def _():
+        # obuf slot reuse: tile tj-2's deferred write must have drained
+        @pl.when(tj >= 2)
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+                osem.at[slot]).wait()
+
         pltpu.make_async_copy(
-            obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
-            osem.at[slot]).wait()
-
-    pltpu.make_async_copy(
-        y_hbm.at[0, :, pl.ds(0, m_e)],
-        ybuf.at[slot, :, pl.ds(LANE, m_e)], sem.at[slot]).wait()
-    yv = ybuf[slot]
-    if add_c:
-        pltpu.make_async_copy(
-            hw2_hbm.at[0, :, pl.ds(0, m_e)],
-            hwbuf.at[slot, :, pl.ds(LANE, m_e)], sem2.at[slot]).wait()
-        hv = hwbuf[slot]
-
-    cin = n + add_c
-    stats = []
-    for p in range(pp):
-        yp = jax.lax.slice(yv, (p * cb, LANE), (p * cb + n, LANE + m_e))
-        s1 = jnp.sum(yp.astype(f32), axis=0, keepdims=True)
-        s2 = jnp.sum(jnp.square(yp.astype(f32)), axis=0, keepdims=True)
+            y_hbm.at[0, :, pl.ds(0, m_e)],
+            ybuf.at[slot, :, pl.ds(LANE, m_e)], sem.at[slot]).wait()
         if add_c:
-            hp = jax.lax.slice(hv, (p * hcb, LANE),
-                               (p * hcb + add_c, LANE + m_e))
-            s1 = s1 + jnp.sum(hp.astype(f32), axis=0, keepdims=True)
-            s2 = s2 + jnp.sum(jnp.square(hp.astype(f32)), axis=0,
-                              keepdims=True)
-        mu = s1 / cin
-        var = s2 / cin - mu * mu
-        stats.append((mu, jax.lax.rsqrt(var + eps)))
+            pltpu.make_async_copy(
+                hw_hbm.at[0, :, pl.ds(0, m_h)],
+                hwbuf.at[slot, :, pl.ds(LANE, m_h)], sem2.at[slot]).wait()
+            # depthwise 3x3 over the shifted channels (reference conv1),
+            # computed once per tile (kk==0) into hw2buf; hw2 row j (the
+            # expand's row j, cell hi*th-1+j) reads hw slab rows j..j+2.
+            colh = _col_index(m_e, ws)
+            for p in range(pp):
+                acc = None
+                for i, (blk, cdr, cdc) in enumerate(_TAPS3[pf][p]):
+                    piece = hwbuf[slot, pl.ds(blk * hcb, hcb),
+                                  pl.ds(LANE + (1 + cdr) * ws + cdc, m_e)]
+                    term = piece.astype(jnp.float32) \
+                        * dwc[:, i].reshape(hcb, 1).astype(jnp.float32)
+                    if masked and cdc != 0:
+                        okc = (colh + cdc >= 0) & (colh + cdc < gw)
+                        term = jnp.where(okc, term, jnp.zeros_like(term))
+                    acc = term if acc is None else acc + term
+                hw2buf[pl.ds(p * hcb, hcb), pl.ds(LANE, m_e)] = \
+                    acc.astype(dtype)
 
     col = _col_index(m_e, ws)
     ri = jax.lax.broadcasted_iota(jnp.int32, (1, m_e), 1) // ws
@@ -347,89 +442,120 @@ def _naf_gate_kernel(y_hbm, hw2_hbm, wa, wb, c1, c2, dw0, g_hbm, gsums_ref,
     if not masked:
         e_ok = e_ok & col_slack_ok(m_e, ws, gw)
     taps3 = _TAPS3[pf]
+    wav = wa[0]                        # (nr, cb) block for this chunk
+    wbv = wb[0] if add_c else None
+    c1v = c1[0]                        # (n, 1)
+    c2v = c2[0]
 
-    gs_acc = [None, None]
-    for k in range(2):
-        for p in range(pp):
-            ypb = jax.lax.slice(yv, (p * cb, LANE),
-                                ((p + 1) * cb, LANE + m_e))
-            e = jax.lax.dot_general(
-                wa[k], ypb, (((1,), (0,)), ((), ())),
+    def expand_body(p, carry):
+        ypb = ybuf[slot, pl.ds(pl.multiple_of(p * cb, 16), cb),
+                   pl.ds(LANE, m_e)]
+        e = jax.lax.dot_general(
+            wav, ypb, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        s2 = jnp.sum(jnp.square(ypb.astype(f32)), axis=0, keepdims=True)
+        if add_c:
+            hpb = hw2buf[pl.ds(pl.multiple_of(p * hcb, 16), hcb),
+                         pl.ds(LANE, m_e)]
+            e = e + jax.lax.dot_general(
+                wbv, hpb, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
-            if add_c:
-                hpb = jax.lax.slice(hv, (p * hcb, LANE),
-                                    ((p + 1) * hcb, LANE + m_e))
-                e = e + jax.lax.dot_general(
-                    wb[k], hpb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-            mu, inv = stats[p]
-            e = inv * e - (inv * mu) * c1[k].reshape(n, 1) \
-                + c2[k].reshape(n, 1)
-            e = jnp.where(e_ok, e, jnp.zeros_like(e)).astype(dtype)
-            ebuf[pl.ds(p * n, n), pl.ds(LANE, m_e)] = e
-        ev = ebuf[...]
-        for p in range(pp):
-            center = jax.lax.slice(
-                ev, (p * n, LANE + ws), ((p + 1) * n, LANE + ws + m_g))
-            d = center.astype(f32)
-            for i, (blk, cdr, cdc) in enumerate(taps3[p]):
-                piece = jax.lax.slice(
-                    ev, (blk * n, LANE + ws + cdr * ws + cdc),
-                    ((blk + 1) * n, LANE + ws + cdr * ws + cdc + m_g))
-                if masked and cdc != 0:
-                    ok = (col[:, :m_g] + cdc >= 0) & \
-                        (col[:, :m_g] + cdc < gw)
-                    piece = jnp.where(ok, piece, jnp.zeros_like(piece))
-                d = d + piece.astype(f32) * jax.lax.slice(
-                    dw0[k], (0, i), (n, i + 1)).astype(f32)
-            gval = (jax.lax.slice(d, (0, 0), (half, m_g))
-                    * jax.lax.slice(d, (half, 0), (n, m_g)))
-            if not masked:
-                gval = jnp.where(col_slack_ok(m_g, ws, gw), gval,
-                                 jnp.zeros_like(gval))
-            obuf[slot, pl.ds(p * cb + k * half, half), :] = \
-                gval.astype(dtype)
-            part = jnp.sum(gval.astype(f32), axis=1)
-            gs_acc[k] = part if gs_acc[k] is None else gs_acc[k] + part
+            s2 = s2 + jnp.sum(jnp.square(hpb.astype(f32)), axis=0,
+                              keepdims=True)
+        s1 = jax.lax.slice(e, (n, 0), (n + 1, m_e))
+        ev = jax.lax.slice(e, (0, 0), (n, m_e))
+        mu = s1 / cin
+        var = s2 / cin - mu * mu
+        inv = jax.lax.rsqrt(var + eps)
+        ev = inv * ev - (inv * mu) * c1v + c2v
+        ev = jnp.where(e_ok, ev, jnp.zeros_like(ev)).astype(dtype)
+        ebuf[pl.ds(pl.multiple_of(p * n, 16), n), pl.ds(LANE, m_e)] = ev
+        return carry
 
-    pad = ((n + LANE - 1) // LANE) * LANE
-    vec = jnp.concatenate([gs_acc[0], gs_acc[1]]).reshape(1, n)
-    vec = jnp.pad(vec, ((0, 0), (0, pad - n)))
-    gsums_ref[0, 0] = jnp.broadcast_to(vec, (8, pad))
+    jax.lax.fori_loop(0, pp, expand_body, 0)
 
-    # deferred tile write: start now, wait two programs later (slot reuse)
-    pltpu.make_async_copy(
-        obuf.at[slot],
-        g_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m_g)],
-        osem.at[slot]).start()
+    ev_all = ebuf[...]
+    gs = None
+    for p in range(pp):
+        center = jax.lax.slice(
+            ev_all, (p * n, LANE + ws), ((p + 1) * n, LANE + ws + m_g))
+        d = center.astype(f32)
+        for i, (blk, cdr, cdc) in enumerate(taps3[p]):
+            piece = jax.lax.slice(
+                ev_all, (blk * n, LANE + ws + cdr * ws + cdc),
+                ((blk + 1) * n, LANE + ws + cdr * ws + cdc + m_g))
+            if masked and cdc != 0:
+                ok = (col[:, :m_g] + cdc >= 0) & \
+                    (col[:, :m_g] + cdc < gw)
+                piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+            d = d + piece.astype(f32) * jax.lax.slice(
+                dw0[0], (0, i), (n, i + 1)).astype(f32)
+        gval = (jax.lax.slice(d, (0, 0), (half, m_g))
+                * jax.lax.slice(d, (half, 0), (n, m_g)))
+        if not masked:
+            gval = jnp.where(col_slack_ok(m_g, ws, gw), gval,
+                             jnp.zeros_like(gval))
+        gb = gval.astype(dtype)
 
-    @pl.when(hi == 0)
+        @pl.when(kk == 0)
+        def _(gb=gb, p=p):
+            obuf[slot, pl.ds(p * cb, half), :] = gb
+
+        @pl.when(kk == 1)
+        def _(gb=gb, p=p):
+            obuf[slot, pl.ds(p * cb + half, half), :] = gb
+
+        part = jnp.sum(gval.astype(f32), axis=1)
+        gs = part if gs is None else gs + part
+
+    npad = ((n + LANE - 1) // LANE) * LANE
+    vec0 = jnp.pad(gs.reshape(1, half), ((0, 0), (0, npad - half)))
+    vec1 = jnp.pad(gs.reshape(1, half), ((0, 0), (half, npad - n)))
+
+    @pl.when(kk == 0)
     def _():
-        zp = pltpu.make_async_copy(
-            zbuf.at[:, pl.ds(0, padr * ws)],
-            g_hbm.at[ti, :, pl.ds(0, padr * ws)], zsem)
-        zp.start()
-        zp.wait()
+        gsums_ref[0, 0] = jnp.broadcast_to(vec0, (8, npad))
 
-    @pl.when(hi == n_tiles - 1)
+    @pl.when(kk == 1)
     def _():
-        zp = pltpu.make_async_copy(
-            zbuf, g_hbm.at[ti, :, pl.ds((padr + gh) * ws, zbuf.shape[1])],
-            zsem)
-        zp.start()
-        zp.wait()
+        gsums_ref[0, 0] += jnp.broadcast_to(vec1, (8, npad))
 
-    @pl.when(g == total - 1)
+    @pl.when(kk == 1)
     def _():
+        # deferred tile write: start now, wait two tiles later (slot reuse)
         pltpu.make_async_copy(
-            obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
-            osem.at[slot]).wait()
+            obuf.at[slot],
+            g_hbm.at[ti, :, pl.ds((hi * th + padr) * ws, m_g)],
+            osem.at[slot]).start()
 
-    @pl.when((g == total - 1) & (total > 1))
-    def _():
-        pltpu.make_async_copy(
-            obuf.at[1 - slot], g_hbm.at[0, :, pl.ds(0, m_g)],
-            osem.at[1 - slot]).wait()
+        @pl.when(hi == 0)
+        def _():
+            zp = pltpu.make_async_copy(
+                zbuf.at[:, pl.ds(0, padr * ws)],
+                g_hbm.at[ti, :, pl.ds(0, padr * ws)], zsem)
+            zp.start()
+            zp.wait()
+
+        @pl.when(hi == n_tiles - 1)
+        def _():
+            zp = pltpu.make_async_copy(
+                zbuf,
+                g_hbm.at[ti, :, pl.ds((padr + gh) * ws, zbuf.shape[1])],
+                zsem)
+            zp.start()
+            zp.wait()
+
+        @pl.when(tj == tiles_total - 1)
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+                osem.at[slot]).wait()
+
+        @pl.when((tj == tiles_total - 1) & (tiles_total > 1))
+        def _():
+            pltpu.make_async_copy(
+                obuf.at[1 - slot], g_hbm.at[0, :, pl.ds(0, m_g)],
+                osem.at[1 - slot]).wait()
 
 
 _TAPS3 = {pf: [phase_taps(pf, pf, 3, 1, 1)[(a, b)] for a in range(pf)
@@ -440,7 +566,7 @@ _TAPS5 = {pf: [phase_taps(pf, pf, 5, 1, 2)[(a, b)] for a in range(pf)
 
 def _naf_rep_kernel(phr_ref, offr_ref, g_hbm, cag, repw, w4, s_ref,
                     sums_ref, gbuf, pbuf, sem, *, th, ws, gw, gh, n, cb,
-                    pf, padr, rg, masked, dtype):
+                    pf, padr, rg, masked, has_cag, dtype):
     """[mid-CA scale] -> merged RepConv (25-tap block-diag dense, per-dy
     accumulated matmuls) -> 1x1 expand -> SimpleGate2 (+ CA sums).
 
@@ -499,8 +625,9 @@ def _naf_rep_kernel(phr_ref, offr_ref, g_hbm, cag, repw, w4, s_ref,
                               pl.ds(lanest, m + 2 * LANE)]
                 piece = jax.lax.slice(window, (0, 0, LANE + ccol),
                                       (1, cb, LANE + ccol + m))[0]
-                scl = cag[0, pl.ds(rowst, cb)]
-                piece = piece * scl.astype(dtype)
+                if has_cag:  # mid-CA scale (denoise); identity for deblur
+                    scl = cag[0, pl.ds(rowst, cb)]
+                    piece = piece * scl.astype(dtype)
                 if masked and ccol != 0:
                     ok = (col + ccol >= 0) & (col + ccol < gw)
                     piece = jnp.where(ok, piece, jnp.zeros_like(piece))
@@ -548,10 +675,14 @@ def _rep_tables(pf, ws):
 
 
 def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, ibuf, obuf,
-                     zbuf, sem, osem, zsem, *, th, ws, gh, n, cb, pf, padr,
-                     dtype):
+                     zbuf, sem, osem, zsem, *, th, ws, gw, gh, n, cb, pf,
+                     padr, dtype):
     """out = shortcut + beta * (w7 @ (s * ca) + b7), pipelined: 2-slot
-    lookahead reads of the shortcut, deferred 2-slot tile writes."""
+    lookahead reads of the shortcut, deferred 2-slot tile writes.  The
+    projection is column-masked on slack layouts: with ``b7 != 0``
+    (denoise) the bias would otherwise land in the slack columns and break
+    the layout's zero-pad invariant (the next round's dw taps read those
+    lanes as conv zero-padding)."""
     ti = pl.program_id(0)
     hi = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -595,6 +726,8 @@ def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, ibuf, obuf,
             w7[...], sp, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         y7 = (y7 + b7[...].astype(f32)) * beta[...].astype(f32)
+        if ws != gw:
+            y7 = jnp.where(col_slack_ok(m, ws, gw), y7, jnp.zeros_like(y7))
         short = jax.lax.slice(iv, (p * cb, 0), (p * cb + n, m))
         obuf[slot, pl.ds(p * cb, n), :] = (short.astype(f32)
                                            + y7).astype(dtype)
@@ -641,6 +774,8 @@ def _naf_back_kernel(y_hbm, s_ref, ca, w7, beta, b7, out_hbm, ibuf, obuf,
 
 
 def _gate_budget(th, ws, pf, n, cb, hcb, add_c, esz):
+    """Live-VMEM estimate for one gate program (v2: chunk axis on the
+    grid, fori-loop expand -> one phase/chunk of stack temporaries)."""
     pp = pf * pf
     m_e = (th + 2) * ws
     m_g = th * ws
@@ -648,12 +783,35 @@ def _gate_budget(th, ws, pf, n, cb, hcb, add_c, esz):
         2 * pp * cb * (2 * LANE + m_e) * esz +           # ybuf (2 slots)
         pp * n * (2 * LANE + m_e) * esz +                # ebuf
         2 * pp * cb * m_g * esz +                        # obuf (2 slots)
-        3 * n * m_e * 4 +                                # e f32 (dot+aff)
-        2 * n * m_g * 4 +                                # dw0 acc f32
+        3 * (n + 8) * m_e * 4 +                          # expand f32 temps
+        6 * n * m_g * 4 +                                # dw value-acc temps
         m_e * 4 * 4)
     if add_c:
-        need += 2 * pp * hcb * (2 * LANE + m_e) * esz
+        need += (2 * pp * hcb * (2 * LANE + (th + 4) * ws) * esz  # hwbuf
+                 + pp * hcb * (2 * LANE + m_e) * esz              # hw2buf
+                 + 4 * hcb * m_e * 4)                    # dw value-acc temps
     return need
+
+
+def _rep_budget(th, ws, pf, n, cb, rg, esz):
+    """Live-VMEM estimate for one rep program (phases already on the
+    grid)."""
+    nch = pf * pf * cb
+    m = th * ws
+    rows_in = th + 2 * rg
+    need = (
+        2 * nch * (2 * LANE + rows_in * ws) * esz +      # gbuf (2 slots)
+        5 * cb * m * esz +                               # pbuf
+        2 * n * m * 4 +                                  # rep acc f32
+        2 * n * m * 4 +                                  # e2/s f32
+        pf * cb * m * esz)                               # s out block
+    return need
+
+
+def _pick_th(gh, budget_fn, cap):
+    return next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1)
+                 if gh % t2 == 0 and budget_fn(t2) < cap),
+                next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
 
 
 def _naf_mlp(sums, n_px, du1, du2, dtype):
@@ -669,12 +827,13 @@ def _naf_mlp(sums, n_px, du1, du2, dtype):
 def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                 params: dict[str, Any], *, groups: int,
                 mid_ca: bool = False, use_last_bias: bool = False,
-                eps: float = 1e-6,
+                eps: float = 1e-6, stage: str = 'full',
                 interpret: bool | None = None) -> ChwTensor:
     """Fused CAB1 (``hw=None``) / CAB2 forward on packed layouts.
     ``params`` is the raw NAF dict from ``naf_params_from_tree``; for CAB2
     ``hw`` is the spatially-shifted extra-channel tensor (the depthwise
-    conv1 is applied here via ``dw3x3_chw``)."""
+    conv1 is applied here via ``dw3x3_chw``).  ``stage`` ('gate'/'rep')
+    returns that kernel's raw output early — profiling hook only."""
     if interpret is None:
         interpret = _interpret()
     t = y.t
@@ -686,23 +845,28 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     hcb = hw.cb if hw is not None else 16
     rg = -(-2 // pf)  # ceil(2/pf): RepConv 5x5 halo in cells
     assert padr >= rg, (padr, rg)
+    assert hw is None or padr >= 2, padr  # in-gate dw3x3 halo
 
-    if hw is not None:
-        hw = dw3x3_chw(hw, params['dwc'].reshape(3, 3, add_c))
-
-    # Mosaic stack-allocates the unrolled per-phase temporaries without
-    # reuse (~2.3x hand-counted sums at bf16, worse at f32) — budget caps
-    # are calibrated against observed compiles per dtype.
+    # VMEM is the binding constraint: budgets estimate live bytes per
+    # program; caps are calibrated against observed TPU compiles per dtype
+    # (env override for calibration sweeps).
+    import os
     esz = jnp.dtype(dtype).itemsize
-    cap = (7 if esz == 2 else 3) * 1024 * 1024
-    th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
-               _gate_budget(t2, ws, pf, n, cb, hcb, add_c, esz) < cap),
-              next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
+    # 14 MB (bf16): the gate budget tracks the observed scoped-VMEM well
+    # (th sweep, tools/sweep_gate.py: 11.7 MB compiled and was fastest;
+    # 16.3 MB did not fit the 16 MB VMEM) — cap just under the limit.
+    cap_mb = float(os.environ.get('SHIFTNET_NAF_CAP_MB',
+                                  '14' if esz == 2 else '4'))
+    cap = int(cap_mb * 1024 * 1024)
+    th = _pick_th(gh, lambda t2: _gate_budget(t2, ws, pf, n, cb, hcb,
+                                              add_c, esz), cap)
+    th = int(os.environ.get('SHIFTNET_NAF_TH_GATE', th))  # calibration only
     assert th is not None, (gh, ws, pf, n)
     n_tiles = gh // th
     masked = (ws == gw)
     npad = ((n + LANE - 1) // LANE) * LANE
     nch = pp * cb
+    nr = n + 8
 
     wts = prep_naf_weights(params, n, add_c, groups, dtype, cb, hcb)
     hw_data = hw.data if hw is not None else jnp.zeros(
@@ -713,17 +877,23 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             _naf_gate_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n, cb=cb,
             hcb=hcb, add_c=add_c, pf=pf, padr=padr, masked=masked, eps=eps,
             dtype=dtype),
-        grid=(t, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # wa
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # wb
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # c1
-                  pl.BlockSpec(memory_space=pltpu.VMEM),   # c2
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # dw0
+        grid=(t, n_tiles, 2),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, nr, cb), lambda ti, hi, kk: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),   # wa
+                  pl.BlockSpec((1, nr, hcb), lambda ti, hi, kk: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),   # wb
+                  pl.BlockSpec((1, n, 1), lambda ti, hi, kk: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),   # c1
+                  pl.BlockSpec((1, n, 1), lambda ti, hi, kk: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),   # c2
+                  pl.BlockSpec((1, n, 9), lambda ti, hi, kk: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),   # dw0
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # dwc
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, 8, npad), lambda ti, hi: (ti, hi, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 8, npad), lambda ti, hi, kk: (ti, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -732,7 +902,8 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, pp * cb, 2 * LANE + (th + 2) * ws), dtype),
-            pltpu.VMEM((2, pp * hcb, 2 * LANE + (th + 2) * ws), dtype),
+            pltpu.VMEM((2, pp * hcb, 2 * LANE + (th + 4) * ws), dtype),
+            pltpu.VMEM((pp * hcb, 2 * LANE + (th + 2) * ws), dtype),
             pltpu.VMEM((pp * n, 2 * LANE + (th + 2) * ws), dtype),
             pltpu.VMEM((2, nch, th * ws), dtype),
             pltpu.VMEM((nch, padr * ws + TAIL), dtype),
@@ -742,9 +913,13 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(y.data, hw_data, wts['wa'], wts.get('wb', jnp.zeros((2, n, hcb),
+    )(y.data, hw_data, wts['wa'], wts.get('wb', jnp.zeros((2, nr, hcb),
                                                           dtype)),
-      wts['c1'], wts['c2'], wts['dw0'])
+      wts['c1'], wts['c2'], wts['dw0'],
+      wts.get('dwc', jnp.zeros((hcb, 9), dtype)))
+
+    if stage == 'gate':
+        return g
 
     n_px = y.h * y.w
     if mid_ca:
@@ -755,23 +930,29 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     cag_full = jnp.zeros((t, pp, cb), dtype).at[:, :, :n].set(
         cag[:, None, :]).reshape(t, nch, 1)
 
+    # rep budget underestimates observed VMEM by ~1.4x (measured: L2 th=12
+    # budget 12.3M compiled to a 17.2M scoped allocation) — derate its cap.
+    th_r = _pick_th(gh, lambda t2: _rep_budget(t2, ws, pf, n, cb, rg, esz),
+                    int(cap * 0.63))
+    th_r = int(os.environ.get('SHIFTNET_NAF_TH_REP', th_r))  # calibration
+    n_tiles_r = gh // th_r
     phr_tbl, offr_tbl = _rep_tables(pf, ws)
     s, sums = pl.pallas_call(
-        functools.partial(_naf_rep_kernel, th=th, ws=ws, gw=gw, gh=gh, n=n,
-                          cb=cb, pf=pf, padr=padr, rg=rg, masked=masked,
-                          dtype=dtype),
+        functools.partial(_naf_rep_kernel, th=th_r, ws=ws, gw=gw, gh=gh,
+                          n=n, cb=cb, pf=pf, padr=padr, rg=rg,
+                          masked=masked, has_cag=mid_ca, dtype=dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(t, n_tiles, pf),
+            grid=(t, n_tiles_r, pf),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),     # g
+                pl.BlockSpec(memory_space=pl.ANY),     # g
                 pl.BlockSpec((1, nch, 1), lambda ti, hi, p, *_: (ti, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # rep
                 pl.BlockSpec(memory_space=pltpu.VMEM),    # w4
             ],
             out_specs=[
-                pl.BlockSpec((1, pf * cb, th * ws),
+                pl.BlockSpec((1, pf * cb, th_r * ws),
                              lambda ti, hi, p, *_: (ti, p, hi),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 8, npad),
@@ -779,17 +960,21 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, nch, 2 * LANE + (th + 2 * rg) * ws), dtype),
-                pltpu.VMEM((5 * cb, th * ws), dtype),
+                pltpu.VMEM((2, nch, 2 * LANE + (th_r + 2 * rg) * ws),
+                           dtype),
+                pltpu.VMEM((5 * cb, th_r * ws), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((t, nch, gh * ws), dtype),
-            jax.ShapeDtypeStruct((t, n_tiles, 8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((t, n_tiles_r, 8, npad), jnp.float32),
         ],
         interpret=interpret,
     )(phr_tbl, offr_tbl, g, cag_full, wts['rep'], wts['w4'])
+
+    if stage == 'rep':
+        return s
 
     ca = _naf_mlp(jnp.sum(sums[:, :, 0, :n], axis=1), n_px,
                   params['du1'], params['du2'], dtype)
@@ -797,13 +982,16 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
         ca[:, None, :]).reshape(t, nch, 1)
 
     b7 = wts['b7'] if use_last_bias else jnp.zeros((n, 1), jnp.float32)
+    th_b = _pick_th(gh, lambda t2: (5 * nch * t2 * ws + 2 * n * t2 * ws * 2)
+                    * esz, cap)
+    n_tiles_b = gh // th_b
     out = pl.pallas_call(
-        functools.partial(_naf_back_kernel, th=th, ws=ws, gh=gh, n=n, cb=cb,
-                          pf=pf, padr=padr, dtype=dtype),
-        grid=(t, n_tiles),
+        functools.partial(_naf_back_kernel, th=th_b, ws=ws, gw=gw, gh=gh,
+                          n=n, cb=cb, pf=pf, padr=padr, dtype=dtype),
+        grid=(t, n_tiles_b),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # y (shortcut)
-            pl.BlockSpec((1, nch, th * ws), lambda ti, hi: (ti, 0, hi),
+            pl.BlockSpec(memory_space=pl.ANY),     # y (shortcut)
+            pl.BlockSpec((1, nch, th_b * ws), lambda ti, hi: (ti, 0, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nch, 1), lambda ti, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -811,16 +999,22 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # beta
             pl.BlockSpec(memory_space=pltpu.VMEM),    # b7
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(y.data.shape, dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, nch, th * ws), dtype),
-            pltpu.VMEM((2, nch, th * ws), dtype),
+            pltpu.VMEM((2, nch, th_b * ws), dtype),
+            pltpu.VMEM((2, nch, th_b * ws), dtype),
             pltpu.VMEM((nch, padr * ws + TAIL), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # out = shortcut + ...: every tile of y is read strictly before the
+        # same tile is written (the lookahead reads and deferred writes
+        # always target different tiles), so the shortcut buffer is reused
+        # in place — at the 720p L1 scale this removes a 1.5 GB HBM
+        # allocation per shift round (XLA inserts a copy if y is live).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(y.data, s, ca_full, wts['w7'], wts['beta'], b7)
     return ChwTensor(out, y.h, y.w, padr, pf, n)
@@ -840,15 +1034,35 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
     groups = n if repconv_depthwise else n // 8
     kw = dict(groups=groups, mid_ca=mid_ca, use_last_bias=last_bias,
               interpret=interpret)
-    for r in range(rounds):
-        reverse = (r % 2 == 1)
+
+    from shiftnet_tpu.ops.chw_grad import naf_cab_chw_d
+
+    def one_round(x, prm, reverse):
         y = temporal_shift_chw(x, reverse=reverse,
                                boundary_patch=boundary_patch)
-        hw = extract_hw_chw(y, add_c, reverse=reverse)
-        hw = grouped_spatial_shift_chw(hw, number)
-        p2, p1 = cab_params[r]
-        x = naf_cab_chw(y, hw, p2, **kw)
-        x = naf_cab_chw(x, None, p1, **kw)
+        hw = gsts_hw_chw(y, add_c, number, reverse=reverse)
+        p2, p1 = prm
+        x = naf_cab_chw_d(y, hw, p2, groups, mid_ca, last_bias)
+        return naf_cab_chw_d(x, None, p1, groups, mid_ca, last_bias)
+
+    if rounds % 2 == 0 and rounds >= 2:
+        # scan over (forward, reverse) round pairs: the per-round graph —
+        # including every pallas_call — is traced/compiled ONCE instead of
+        # ``rounds`` times (the rounds are shape-identical; weights ride a
+        # stacked scan operand).
+        pairs = [(cab_params[2 * i], cab_params[2 * i + 1])
+                 for i in range(rounds // 2)]
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *pairs)
+
+        def body(carry, prm):
+            carry = one_round(carry, prm[0], False)
+            carry = one_round(carry, prm[1], True)
+            return carry, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
+    for r in range(rounds):
+        x = one_round(x, cab_params[r], r % 2 == 1)
     return x
 
 

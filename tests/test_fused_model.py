@@ -54,7 +54,9 @@ def _scaled_random(params, seed):
         elif name == 'weight' and leaf.ndim <= 1:
             v = 1.0 + 0.1 * jax.random.normal(k, leaf.shape)
         else:
-            v = 0.01 * jax.random.normal(k, leaf.shape)
+            # biases at full scale: a bias leaking into the layout's slack
+            # columns (zero-pad invariant) must exceed the tolerance
+            v = 0.1 * jax.random.normal(k, leaf.shape)
         leaves.append(v.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -42,8 +42,8 @@ def _randomize(params, seed):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _x():
-    return jax.random.normal(jax.random.PRNGKey(0), (T, H, W, N),
+def _x(w=W):
+    return jax.random.normal(jax.random.PRNGKey(0), (T, H, w, N),
                              jnp.float32)
 
 
@@ -60,13 +60,30 @@ def test_temporal_shift(pf, reverse, bp):
 
 
 @pytest.mark.parametrize('pf', [1, 2])
-def test_spatial_shift(pf):
-    x = _x()
+# W=96: ample slack; W=122: slack (6) < max shift (8), wraps unless masked;
+# W=128: lane-aligned (ws == gw), zero slack.
+@pytest.mark.parametrize('w', [96, 122, 128])
+def test_spatial_shift(pf, w):
+    x = _x(w)
     ref = grouped_spatial_shift(x[..., :ADD_C], NUMBER)
     hw = naf_chw.extract_hw_chw(chw.from_nhwc(x, padr=4, pf=pf), ADD_C,
                                 reverse=False)
     got = chw.to_nhwc(naf_chw.grouped_spatial_shift_chw(hw, NUMBER))
     assert _err(got, ref)[0] == 0
+
+
+@pytest.mark.parametrize('pf', [1, 2])
+@pytest.mark.parametrize('w', [96, 128])
+def test_dw3x3(pf, w):
+    """Depthwise 3x3 (CAB2 conv1) on packed layouts, incl. the zero-slack
+    masked layout (edge taps must not wrap into the adjacent row)."""
+    x = _x(w)
+    k = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (3, 3, N))
+    ref = jax.lax.conv_general_dilated(
+        x, k.reshape(3, 3, 1, N), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'), feature_group_count=N)
+    got = chw.to_nhwc(naf_chw.dw3x3_chw(chw.from_nhwc(x, padr=4, pf=pf), k))
+    assert _err(got, ref)[1] < 1e-6
 
 
 @pytest.mark.parametrize('pf', [1, 2])
@@ -95,6 +112,25 @@ def test_cab2(pf, reverse):
     yc = naf_chw.temporal_shift_chw(xc, reverse=reverse, boundary_patch=True)
     hwc = naf_chw.grouped_spatial_shift_chw(
         naf_chw.extract_hw_chw(yc, ADD_C, reverse=reverse), NUMBER)
+    got = chw.to_nhwc(naf_chw.naf_cab_chw(yc, hwc, naf, groups=N // 8,
+                                          interpret=True))
+    assert _err(got, ref)[1] < 1e-5
+
+
+def test_cab2_masked_layout():
+    """Full CAB2 chain on a zero-slack (ws == gw) layout: exercises the
+    masked branches of the gate/rep kernels and the dw3x3/spatial-shift
+    column masks together."""
+    x = _x(128)
+    full = gsts(x, NUMBER, reverse=False, boundary_patch=True)
+    mod = CAB2(N, ADD_C, kernel_size=5, reduction=4, dtype=jnp.float32)
+    p = _randomize(mod.init(jax.random.PRNGKey(2), full)['params'], 12)
+    ref = mod.apply({'params': p}, full)
+    naf = naf_chw.naf_params_from_tree(p, add_c=ADD_C)
+    xc = chw.from_nhwc(x, padr=4, pf=1)
+    yc = naf_chw.temporal_shift_chw(xc, reverse=False, boundary_patch=True)
+    hwc = naf_chw.grouped_spatial_shift_chw(
+        naf_chw.extract_hw_chw(yc, ADD_C, reverse=False), NUMBER)
     got = chw.to_nhwc(naf_chw.naf_cab_chw(yc, hwc, naf, groups=N // 8,
                                           interpret=True))
     assert _err(got, ref)[1] < 1e-5
