@@ -98,7 +98,7 @@ class Encoder2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from shiftnet_tpu.ops import chw
+        from shiftnet_tpu.ops import chw, chw_grad
         cfg = self.cfg
         nf = cfg.n_feats2
         nf0 = cfg.n_feats0
@@ -124,7 +124,7 @@ class Encoder2(nn.Module):
                        dtype=self.dtype, name='down01__0')(z)
             PReLU(dtype=self.dtype, name='down01__1')(r)
             v = self.variables['params']
-            x = chw.conv_chw(
+            x = chw_grad.conv_chw_d(
                 x, jnp.asarray(v['down01__0']['conv']['kernel']), None,
                 jnp.asarray(v['down01__1']['weight']), stride=2)
         else:
@@ -201,7 +201,7 @@ class Encoder2(nn.Module):
                 Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                        name='conv_hr0')(z)
                 p = self.variables['params']['conv_hr0']['conv']
-                out = chw.conv_chw(chw.concat_chw([up, skip]),
+                out = chw_grad.conv_chw_d(chw.concat_chw([up, skip]),
                                    jnp.asarray(p['kernel']),
                                    jnp.asarray(p['bias']), None)
             else:
@@ -215,7 +215,7 @@ class Encoder2(nn.Module):
                     jnp.maximum(up.data, 0) + a * jnp.minimum(up.data, 0),
                     up.h, up.w, up.padr, up.pf, up.c)
                 out = chw.add_chw(
-                    chw.conv_chw(upa, jnp.asarray(
+                    chw_grad.conv_chw_d(upa, jnp.asarray(
                         v['conv_hr0']['conv']['kernel']), None, None), skip)
         elif cfg.final_fuse_concat:
             out = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
@@ -266,8 +266,7 @@ class GShiftNet(nn.Module):
         from shiftnet_tpu.ops import chw
         use_chw = cfg.fused_tfr and chw.tfr_shapes_ok(x.shape[1], x.shape[2])
         y = chw.from_nhwc(x0, padr=2, pf=4) if use_chw else x0
-        for i in range(cfg.num_orbs):
-            y = TFRUNet(nf0, name=f'orb{i + 1}', **tfr_kw)(y)
+        y = self._orb_chain('orb', y, tfr_kw)
         if use_chw:
             y = chw.to_nhwc(y)
         sam_features0 = y + x0 if cfg.stage_residual else y
@@ -288,8 +287,7 @@ class GShiftNet(nn.Module):
         shortcut2 = z
         if use_chw:
             z = chw.from_nhwc(z, padr=2, pf=4)
-        for i in range(cfg.num_orbs):
-            z = TFRUNet(nf0, name=f'rorb{i + 1}', **tfr_kw)(z)
+        z = self._orb_chain('rorb', z, tfr_kw)
         if use_chw:
             z = chw.to_nhwc(z)
         if cfg.stage_residual:
@@ -298,11 +296,36 @@ class GShiftNet(nn.Module):
                    name='conv_last')(z)
         return z + shortcut[center]
 
+    def _orb_chain(self, prefix, y, tfr_kw):
+        """num_orbs sequential TFR U-Nets.  Init declares each orb's
+        (torch-named) params by unrolled module calls; apply runs a
+        ``lax.scan`` over the stacked per-orb param subtrees — the orbs are
+        shape-identical, so the whole U-Net body (incl. its Pallas calls on
+        the fused path) is traced/compiled once instead of num_orbs
+        times."""
+        cfg = self.cfg
+        if self.is_initializing():
+            for i in range(cfg.num_orbs):
+                y = TFRUNet(cfg.n_feats0, name=f'{prefix}{i + 1}',
+                            **tfr_kw)(y)
+            return y
+        v = self.variables['params']
+        stacked = jax.tree.map(
+            lambda *ls: jnp.stack(ls),
+            *[v[f'{prefix}{i + 1}'] for i in range(cfg.num_orbs)])
+        orb = TFRUNet(cfg.n_feats0, **tfr_kw)
+
+        def body(carry, prm):
+            return orb.apply({'params': prm}, carry), None
+
+        y, _ = jax.lax.scan(body, y, stacked)
+        return y
+
     def _forward_chw(self, inp, shortcut, center, tfr_kw):
         """Whole-network packed-CHW path: two layout conversions total
         (entry and exit); everything in between runs on ChwTensors (the L3
         island inside Encoder2 excepted)."""
-        from shiftnet_tpu.ops import chw
+        from shiftnet_tpu.ops import chw, chw_grad
         cfg = self.cfg
         nf0 = cfg.n_feats0
         dt = self.dtype
@@ -321,16 +344,14 @@ class GShiftNet(nn.Module):
 
         xin = chw.from_nhwc(inp, padr=4, pf=4)
         k, b = conv_params('feat_extract__0', inp.shape[-1], 3, True)
-        x0 = chw.conv_chw(xin, k, b, None)
+        x0 = chw_grad.conv_chw_d(xin, k, b, None)
         x0 = CAB(nf0, kernel_size=3, reduction=cfg.ca_reduction, dtype=dt,
                  name='feat_extract__1')(x0)
 
-        y = x0
-        for i in range(cfg.num_orbs):
-            y = TFRUNet(nf0, name=f'orb{i + 1}', **tfr_kw)(y)
+        y = self._orb_chain('orb', x0, tfr_kw)
         sam0 = chw.add_chw(y, x0) if cfg.stage_residual else y
         k, b = conv_params('conv_trans', nf0, 3, True)
-        sam = chw.conv_chw(sam0, k, b, None)
+        sam = chw_grad.conv_chw_d(sam0, k, b, None)
 
         dec = Encoder2(cfg, dtype=dt, name='stage1')(sam)
 
@@ -342,14 +363,13 @@ class GShiftNet(nn.Module):
         if cfg.rconcat_act:
             PReLU(dtype=dt, name='lrelu')(jnp.zeros((1, 1, 1, nf0), dt))
             alpha = jnp.asarray(self.variables['params']['lrelu']['weight'])
-        z = chw.conv_chw(z, k, b, alpha)
+        z = chw_grad.conv_chw_d(z, k, b, alpha)
         shortcut2 = z
-        for i in range(cfg.num_orbs):
-            z = TFRUNet(nf0, name=f'rorb{i + 1}', **tfr_kw)(z)
+        z = self._orb_chain('rorb', z, tfr_kw)
         if cfg.stage_residual:
             z = chw.add_chw(z, shortcut2)
         k, _ = conv_params('conv_last', nf0, cfg.conv_last_ks, False)
-        z = chw.conv_chw(z, k, None, None)
+        z = chw_grad.conv_chw_d(z, k, None, None)
         return chw.to_nhwc(z) + shortcut[center]
 
 

@@ -246,7 +246,8 @@ class CAB(nn.Module):
             assert self.kernel_size == 3 and not self.use_bias
             self._declare(x.c)
             params = jax.tree.map(jnp.asarray, self.variables['params'])
-            return chw.cab_chw(x, params, reduction=self.reduction)
+            from shiftnet_tpu.ops import chw_grad
+            return chw_grad.cab_chw_d(x, params, self.reduction)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
                      dtype=self.dtype, name='body__0')(x)
         res = PReLU(dtype=self.dtype, name='body__1')(res)
@@ -296,7 +297,8 @@ class ShiftCAB(nn.Module):
             params = jax.tree.map(jnp.asarray, self.variables['params'])
             y = naf_chw.temporal_shift_chw(x, reverse=self.reverse,
                                            boundary_patch=True)
-            return chw.cab_chw(y, params, reduction=self.reduction)
+            from shiftnet_tpu.ops import chw_grad
+            return chw_grad.cab_chw_d(y, params, self.reduction)
         x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
                      dtype=self.dtype, name='body__0')(x)
@@ -420,8 +422,9 @@ class DownSample(nn.Module):
         if isinstance(x, chw.ChwTensor):
             self._declare(x.c)
             params = jax.tree.map(jnp.asarray, self.variables['params'])
-            return chw.down_chw(x, params, self.out_channels,
-                                with_prelu=self.with_prelu)
+            from shiftnet_tpu.ops import chw_grad
+            return chw_grad.down_chw_d(x, params, self.out_channels,
+                                       with_prelu=self.with_prelu)
         if self.with_prelu:
             x = Conv2d(self.out_channels, 3, stride=2, use_bias=False,
                        dtype=self.dtype, name='down__0')(x)
@@ -455,7 +458,8 @@ class SkipUpSample(nn.Module):
             Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
                    name='up__1')(z)
             params = jax.tree.map(jnp.asarray, self.variables['params'])
-            return chw.up_skip_chw(x, params, skip)
+            from shiftnet_tpu.ops import chw_grad
+            return chw_grad.up_skip_chw_d(x, params, skip)
         x = bilinear_up2x(x)
         x = Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
                    name='up__1')(x)
@@ -478,8 +482,9 @@ class PixelShufflePack(nn.Module):
             Conv2d(self.out_channels * 4, self.upsample_kernel,
                    use_bias=True, dtype=self.dtype, name='upsample_conv')(z)
             p = self.variables['params']['upsample_conv']['conv']
-            y = chw.conv_chw(x, jnp.asarray(p['kernel']),
-                             jnp.asarray(p['bias']), None, stride=1)
+            from shiftnet_tpu.ops import chw_grad
+            y = chw_grad.conv_chw_d(x, jnp.asarray(p['kernel']),
+                                    jnp.asarray(p['bias']), None, stride=1)
             return chw.pixel_shuffle_chw(y, 2)
         x = Conv2d(self.out_channels * self.scale ** 2, self.upsample_kernel,
                    use_bias=True, dtype=self.dtype, name='upsample_conv')(x)
@@ -511,7 +516,8 @@ class TFRUNet(nn.Module):
             dummy = jnp.zeros((1, 4, 4, self.n_feat0), self.dtype)
             self._body(dummy)  # declare the full (torch-named) param tree
             params = jax.tree.map(jnp.asarray, self.variables['params'])
-            return chw.tfr_unet_chw(
+            from shiftnet_tpu.ops import chw_grad
+            return chw_grad.tfr_unet_chw_d(
                 params, x, reduction=self.reduction,
                 downsample_prelu=self.downsample_prelu)
         return self._body(x)
@@ -605,14 +611,50 @@ class EncoderShiftBlock(nn.Module):
                   last_bias=self.last_bias,
                   repconv_depthwise=self.repconv_depthwise,
                   dtype=self.dtype)
-        for r in range(self.rounds):
-            suffix = '' if r == 0 else f'_{r}'
-            reverse = (r % 2 == 1)
+        if self.is_initializing() or self.rounds % 2:
+            # unrolled: declares the per-round (torch-named) param tree
+            for r in range(self.rounds):
+                suffix = '' if r == 0 else f'_{r}'
+                reverse = (r % 2 == 1)
+                y = temporal_channel_shift(x, reverse=reverse,
+                                           boundary_patch=self.boundary_patch)
+                hw = y[..., -add_c:] if reverse else y[..., :add_c]
+                hw = grouped_spatial_shift(hw, number)
+                x = CAB2(self.n_feat, add_c,
+                         name=f'encoder_level1{suffix}__0', **kw)(y, hw)
+                x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1',
+                         **kw)(x)
+            return x
+        # apply: lax.scan over (forward, reverse) round pairs — one traced
+        # round-pair body instead of ``rounds`` copies (the rounds are
+        # shape-identical; weights ride a stacked scan operand).  The param
+        # tree/naming is untouched (declared by the init path above).
+        v = self.variables['params']
+        cab2 = CAB2(self.n_feat, add_c, **kw)
+        cab1 = CAB1(self.n_feat, **kw)
+
+        def prm(r):
+            sfx = '' if r == 0 else f'_{r}'
+            return (v[f'encoder_level1{sfx}__0'],
+                    v[f'encoder_level1{sfx}__1'])
+
+        pairs = [(prm(2 * i), prm(2 * i + 1))
+                 for i in range(self.rounds // 2)]
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *pairs)
+
+        def one(x, p2p1, reverse):
+            p2, p1 = p2p1
             y = temporal_channel_shift(x, reverse=reverse,
                                        boundary_patch=self.boundary_patch)
             hw = y[..., -add_c:] if reverse else y[..., :add_c]
             hw = grouped_spatial_shift(hw, number)
-            x = CAB2(self.n_feat, add_c, name=f'encoder_level1{suffix}__0',
-                     **kw)(y, hw)
-            x = CAB1(self.n_feat, name=f'encoder_level1{suffix}__1', **kw)(x)
+            x = cab2.apply({'params': p2}, y, hw)
+            return cab1.apply({'params': p1}, x)
+
+        def body(carry, prm2):
+            carry = one(carry, prm2[0], False)
+            carry = one(carry, prm2[1], True)
+            return carry, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
         return x

@@ -43,7 +43,12 @@ class Trainer:
         task_kind = 'denoise' if mcfg.noise_map else 'deblur'
         # Training predicts all-but-(fb,ff) frames: deblur 1/1, denoise 0/0
         # (constructor defaults — gshift_deblur1.py:728, gshift_denoise1.py:758).
-        self.model = build_model(variant, dtype=compute_dtype)
+        # fused_chw trains on the packed-CHW Pallas forward with the custom
+        # VJPs (ops/chw_grad.py); shapes the packing can't take fall back
+        # per-shape inside the model.  Opt-out via `fused: false`.
+        fused = bool(opt.get('fused', True)) and compute_dtype == jnp.bfloat16
+        self.model = build_model(variant, dtype=compute_dtype,
+                                 fused_chw=fused)
         self.task = TaskConfig(
             kind=task_kind,
             loss_spec=opt.get('loss_type', '1*L1'),
