@@ -4,11 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md north star): 30 fps/chip for 720p video deblurring.
 
 Protocol: windowed inference like the reference benchmark harness
-(``inference/test_deblur.py``: one_len frames + 2+2 halo per window) with the
-reference's 4-quadrant spatial tiling (``inference/test_denoise.py:153-173``)
-— required here because a full 720p x 16-frame window exceeds the 16 GB v5e
-HBM (the A100s the reference ran on have 40-80 GB).  bf16 compute.  fps =
-predicted output frames per wall-clock second, steady state.
+(``inference/test_deblur.py``: one_len frames + 2+2 halo per window),
+driven through the SAME ``Evaluator`` forward/envelope the eval CLIs use
+(``shiftnet_tpu/eval/runner.py``) — the scored fps is the harness fps.
+bf16 compute; fps = predicted output frames per wall-clock second, steady
+state, device-resident input/output (host I/O excluded; the reference
+benchmark also measures the model forward only).
 """
 import json
 import os
@@ -16,57 +17,56 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
     from shiftnet_tpu.utils.jaxenv import setup_jax
     setup_jax()
-    from shiftnet_tpu.models import build_model, init_params
+    from shiftnet_tpu.eval.runner import Evaluator
     from shiftnet_tpu.eval.window import half_slices
+    from shiftnet_tpu.models import init_params
 
     # Env knobs for perf sweeps; defaults are the shipping configuration.
     one_len = int(os.environ.get('SHIFTNET_BENCH_ONELEN', '36'))
-    fused_tfr = os.environ.get('SHIFTNET_BENCH_TFR', '0') == '1'
-    fused_chw = os.environ.get('SHIFTNET_BENCH_CHW', '1') == '1'
+    overrides = {}
+    if os.environ.get('SHIFTNET_BENCH_CHW', '1') != '1':
+        overrides['fused_chw'] = False
+    if os.environ.get('SHIFTNET_BENCH_TFR', '0') == '1':
+        overrides['fused_tfr'] = True
     halo = 2
     h, w = 720, 1280
     t = one_len + 2 * halo
 
-    model = build_model('deblur_plus', dtype=jnp.bfloat16,
-                        fused_tfr=fused_tfr, fused_chw=fused_chw,
-                        past_frames=halo, future_frames=halo)
-    rng = jax.random.PRNGKey(0)
-    video = jax.random.uniform(rng, (t, h, w, 3), jnp.bfloat16)
+    ev = Evaluator('deblur_plus', None, bf16=True, overrides=overrides,
+                   result_path='/tmp/bench_results')
+    video = jax.random.uniform(jax.random.PRNGKey(0), (t, h, w, 3),
+                               jnp.bfloat16)
     # params are shape-independent; init on a small clip to keep the
     # (uncached) init compile fast.
-    params = init_params(model, video[: 2 * halo + 1, :64, :64], seed=1)
+    ev.params = init_params(ev.model, video[: 2 * halo + 1, :64, :64],
+                            seed=1)
 
-    @jax.jit
-    def forward(params, x):
-        return model.apply({'params': params}, x)
-
-    if os.environ.get('SHIFTNET_BENCH_FULLFRAME', '1') == '1':
-        # Dense packed-CHW activations are ~3-5x smaller than the NHWC
-        # padded ones — a full 720p window fits the 16 GB HBM, dropping
-        # the half-tile overlap waste entirely.
-        tiles = [video]
-    else:
+    # The Evaluator's window plan: full frame when the packed path's HBM
+    # envelope allows, else its half-height tiling.
+    if t * h * w > ev.px_envelope:
         tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
                  for in_sl, _, _ in half_slices(h, w)]
+    else:
+        tiles = [video]
+    fwd = ev._forward((t,) + tiles[0].shape[1:])
 
     # Compile + warmup; then DRAIN via a data fetch: on this backend
     # block_until_ready can return before execution finishes, so only an
     # actual device->host transfer is a reliable fence.
     for tile in tiles:
-        out = forward(params, tile)
+        out = fwd(ev.params, tile)
     float(jnp.sum(out.astype(jnp.float32)))
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         for tile in tiles:
-            out = forward(params, tile)
+            out = fwd(ev.params, tile)
     # Device executes in order; fetching the last output implies all prior
     # windows completed.
     float(jnp.sum(out.astype(jnp.float32)))

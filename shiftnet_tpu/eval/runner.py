@@ -72,6 +72,13 @@ class Evaluator:
                                  **overrides)
         self.params = params
         self.dtype = dtype
+        # Single-chip HBM envelope (input pixels per window) above which a
+        # window is split into half-height tiles.  The packed-CHW fused
+        # path stores activations dense (no NHWC 128-lane channel padding,
+        # ~3-5x smaller), so it fits far larger windows: a full
+        # 720p x 44-frame window runs in 16 GB (bench.py measures T=40).
+        # The NHWC/XLA path keeps the round-2 calibration.
+        self.px_envelope = (48_000_000 if cfg.fused_chw else 22_000_000)
         self._jit_cache: dict[tuple, Any] = {}
         stamp = time.strftime('%Y-%m-%d %H:%M:%S')
         self.logger = EvalLogger(result_path, f'inference_log_{stamp}.txt')
@@ -113,6 +120,24 @@ class Evaluator:
         out_shape = (t - 2 * self.halo, h, w, 3)
         return merge_grids(preds, plans, out_shape, cs)
 
+    def forward_window(self, x) -> np.ndarray:
+        """Forward one (T, H, W, C) input window -> (T - 2*halo, H, W, 3)
+        f32; splits into half-height tiles only when the window exceeds
+        the active path's HBM envelope (``px_envelope``) — the reference
+        quadrant-tiling analog (``test_denoise.py:153-173``).  This is the
+        exact forward ``bench.py`` scores."""
+        tt, hh, ww, _ = x.shape
+        if tt * hh * ww > self.px_envelope:
+            out = np.zeros((tt - 2 * self.halo, hh, ww, 3), np.float32)
+            for in_sl, crop_sl, out_sl in half_slices(hh, ww):
+                xt = x[:, in_sl[0], in_sl[1]]
+                o = self._forward(xt.shape)(self.params, xt)
+                o = np.asarray(o.astype(jnp.float32))
+                out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
+            return out
+        out = self._forward(x.shape)(self.params, x)
+        return np.asarray(out.astype(jnp.float32))
+
     # -- deblur ------------------------------------------------------------
     def eval_deblur(self, data_path: str, one_len: int = 48, *,
                     grids: bool = False, crop_size: int = 256,
@@ -140,21 +165,8 @@ class Evaluator:
                 if grids:
                     out = self.forward_grids(x, crop_size=crop_size,
                                              trans_num=trans_num)
-                elif tt * hh * ww > 22_000_000:
-                    # Window exceeds the single-chip HBM envelope: stitch
-                    # half-height tiles (reference quadrant-tiling analog,
-                    # test_denoise.py:153-173).
-                    out = np.zeros((tt - 2 * self.halo, hh, ww, 3),
-                                   np.float32)
-                    for in_sl, crop_sl, out_sl in half_slices(hh, ww):
-                        xt = x[:, in_sl[0], in_sl[1]]
-                        o = self._forward(xt.shape)(self.params, xt)
-                        o = np.asarray(o.astype(jnp.float32))
-                        out[:, out_sl[0], out_sl[1]] = \
-                            o[:, crop_sl[0], crop_sl[1]]
                 else:
-                    out = self._forward(x.shape)(self.params, x)
-                    out = np.asarray(out.astype(jnp.float32))
+                    out = self.forward_window(x)
                 t2 = time.time()
                 p_, s_ = self._score(out, gts, v, ch.out_start)
                 vp += p_; vs += s_
