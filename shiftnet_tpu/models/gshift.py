@@ -125,8 +125,9 @@ class Encoder2(nn.Module):
             PReLU(dtype=self.dtype, name='down01__1')(r)
             v = self.variables['params']
             x = chw_grad.conv_chw_d(
-                x, jnp.asarray(v['down01__0']['conv']['kernel']), None,
-                jnp.asarray(v['down01__1']['weight']), stride=2)
+                x, jnp.asarray(v['down01__0']['conv']['kernel'], self.dtype),
+                None, jnp.asarray(v['down01__1']['weight'], self.dtype),
+                stride=2)
         else:
             x = Conv2d(nf, 2, stride=2, padding=0, use_bias=False,
                        dtype=self.dtype, name='down01__0')(x)
@@ -202,8 +203,8 @@ class Encoder2(nn.Module):
                        name='conv_hr0')(z)
                 p = self.variables['params']['conv_hr0']['conv']
                 out = chw_grad.conv_chw_d(chw.concat_chw([up, skip]),
-                                   jnp.asarray(p['kernel']),
-                                   jnp.asarray(p['bias']), None)
+                                   jnp.asarray(p['kernel'], self.dtype),
+                                   jnp.asarray(p['bias'], self.dtype), None)
             else:
                 z = jnp.zeros((1, 1, 1, nf0), self.dtype)
                 PReLU(dtype=self.dtype, name='act')(z)
@@ -216,7 +217,8 @@ class Encoder2(nn.Module):
                     up.h, up.w, up.padr, up.pf, up.c)
                 out = chw.add_chw(
                     chw_grad.conv_chw_d(upa, jnp.asarray(
-                        v['conv_hr0']['conv']['kernel']), None, None), skip)
+                        v['conv_hr0']['conv']['kernel'], self.dtype),
+                        None, None), skip)
         elif cfg.final_fuse_concat:
             out = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                          name='conv_hr0')(jnp.concatenate([up, skip], axis=-1))
@@ -315,6 +317,7 @@ class GShiftNet(nn.Module):
             *[v[f'{prefix}{i + 1}'] for i in range(cfg.num_orbs)])
         orb = TFRUNet(cfg.n_feats0, **tfr_kw)
 
+        @jax.checkpoint
         def body(carry, prm):
             return orb.apply({'params': prm}, carry), None
 
@@ -335,14 +338,17 @@ class GShiftNet(nn.Module):
             Conv2d(nf0 if name != 'conv_last' else 3, k, use_bias=bias,
                    dtype=dt, name=name)(z)
             p = self.variables['params'][name]['conv']
-            return (jnp.asarray(p['kernel']),
-                    jnp.asarray(p['bias']) if bias else None)
+            return (jnp.asarray(p['kernel'], dt),
+                    jnp.asarray(p['bias'], dt) if bias else None)
 
         def tslice(ct, sl):
             return chw.ChwTensor(ct.data[sl], ct.h, ct.w, ct.padr, ct.pf,
                                  ct.c)
 
-        xin = chw.from_nhwc(inp, padr=4, pf=4)
+        # Cast to the compute dtype at entry (the unfused path's first
+        # nn.Conv does this implicitly); otherwise an f32 training batch
+        # would promote the whole fused interior to f32.
+        xin = chw.from_nhwc(inp.astype(dt), padr=4, pf=4)
         k, b = conv_params('feat_extract__0', inp.shape[-1], 3, True)
         x0 = chw_grad.conv_chw_d(xin, k, b, None)
         x0 = CAB(nf0, kernel_size=3, reduction=cfg.ca_reduction, dtype=dt,
@@ -362,7 +368,8 @@ class GShiftNet(nn.Module):
         alpha = None
         if cfg.rconcat_act:
             PReLU(dtype=dt, name='lrelu')(jnp.zeros((1, 1, 1, nf0), dt))
-            alpha = jnp.asarray(self.variables['params']['lrelu']['weight'])
+            alpha = jnp.asarray(
+                self.variables['params']['lrelu']['weight'], dt)
         z = chw_grad.conv_chw_d(z, k, b, alpha)
         shortcut2 = z
         z = self._orb_chain('rorb', z, tfr_kw)

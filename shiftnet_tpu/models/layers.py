@@ -25,6 +25,14 @@ from shiftnet_tpu.ops.shift import gsts, temporal_channel_shift
 Dtype = Any
 
 
+def cast_tree(tree, dtype):
+    """Cast a param subtree to the module's compute dtype — the fused-path
+    analog of flax's ``nn.Conv(dtype=...)`` input/kernel promotion.  Without
+    it, fp32 training params would silently promote the whole fused forward
+    (and its VJP) to f32 (2x HBM, slower MXU)."""
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+
+
 def _torch_conv_kernel_init(key, shape, dtype):
     """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
 
@@ -245,7 +253,7 @@ class CAB(nn.Module):
         if isinstance(x, chw.ChwTensor):
             assert self.kernel_size == 3 and not self.use_bias
             self._declare(x.c)
-            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            params = cast_tree(self.variables['params'], self.dtype)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.cab_chw_d(x, params, self.reduction)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
@@ -294,7 +302,7 @@ class ShiftCAB(nn.Module):
                        name='body__2')(r)
             CALayer(self.n_feat, self.reduction, use_bias=self.use_bias,
                     dtype=self.dtype, name='CA')(r)
-            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            params = cast_tree(self.variables['params'], self.dtype)
             y = naf_chw.temporal_shift_chw(x, reverse=self.reverse,
                                            boundary_patch=True)
             from shiftnet_tpu.ops import chw_grad
@@ -421,7 +429,7 @@ class DownSample(nn.Module):
         from shiftnet_tpu.ops import chw
         if isinstance(x, chw.ChwTensor):
             self._declare(x.c)
-            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            params = cast_tree(self.variables['params'], self.dtype)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.down_chw_d(x, params, self.out_channels,
                                        with_prelu=self.with_prelu)
@@ -457,7 +465,7 @@ class SkipUpSample(nn.Module):
             z = jnp.zeros((1, 1, 1, x.c), self.dtype)
             Conv2d(self.out_channels, 1, use_bias=False, dtype=self.dtype,
                    name='up__1')(z)
-            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            params = cast_tree(self.variables['params'], self.dtype)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.up_skip_chw_d(x, params, skip)
         x = bilinear_up2x(x)
@@ -483,8 +491,9 @@ class PixelShufflePack(nn.Module):
                    use_bias=True, dtype=self.dtype, name='upsample_conv')(z)
             p = self.variables['params']['upsample_conv']['conv']
             from shiftnet_tpu.ops import chw_grad
-            y = chw_grad.conv_chw_d(x, jnp.asarray(p['kernel']),
-                                    jnp.asarray(p['bias']), None, stride=1)
+            y = chw_grad.conv_chw_d(x, jnp.asarray(p['kernel'], self.dtype),
+                                    jnp.asarray(p['bias'], self.dtype), None,
+                                    stride=1)
             return chw.pixel_shuffle_chw(y, 2)
         x = Conv2d(self.out_channels * self.scale ** 2, self.upsample_kernel,
                    use_bias=True, dtype=self.dtype, name='upsample_conv')(x)
@@ -515,7 +524,7 @@ class TFRUNet(nn.Module):
         if isinstance(x, chw.ChwTensor):
             dummy = jnp.zeros((1, 4, 4, self.n_feat0), self.dtype)
             self._body(dummy)  # declare the full (torch-named) param tree
-            params = jax.tree.map(jnp.asarray, self.variables['params'])
+            params = cast_tree(self.variables['params'], self.dtype)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.tfr_unet_chw_d(
                 params, x, reduction=self.reduction,
@@ -590,7 +599,7 @@ class EncoderShiftBlock(nn.Module):
                 CAB2(n, add_c, name=f'encoder_level1{suffix}__0',
                      **kwd)(z2)
                 CAB1(n, name=f'encoder_level1{suffix}__1', **kwd)(z1)
-            v = jax.tree.map(jnp.asarray, self.variables['params'])
+            v = cast_tree(self.variables['params'], self.dtype)
             cab_params = []
             for r in range(self.rounds):
                 suffix = '' if r == 0 else f'_{r}'
@@ -651,6 +660,7 @@ class EncoderShiftBlock(nn.Module):
             x = cab2.apply({'params': p2}, y, hw)
             return cab1.apply({'params': p1}, x)
 
+        @jax.checkpoint
         def body(carry, prm2):
             carry = one(carry, prm2[0], False)
             carry = one(carry, prm2[1], True)

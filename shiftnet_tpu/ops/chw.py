@@ -145,12 +145,21 @@ def to_nhwc(x: ChwTensor) -> jax.Array:
 
 
 
-def vmem_cap(esz: int, base_mb: int = 10) -> int:
+def vmem_cap(esz: int, base_mb: int = 10, ws: int | None = None) -> int:
     """Calibrated VMEM budget cap: Mosaic stack-allocates unrolled
     temporaries without reuse, inflating actual usage ~2.3x over
     hand-counted buffer sums at bf16 and worse at f32 (observed compiles);
-    budgets here count the big buffers only, so cap conservatively."""
-    return int(base_mb * 1024 * 1024 * (1.0 if esz == 2 else 0.42))
+    budgets here count the big buffers only, so cap conservatively.
+
+    The inflation worsens at narrow rows: at ws=128 (256-patch training
+    shapes) the s2d front kernel compiled to 2.7x its budget (est 6.6 MB ->
+    18.0 MB scoped, > the 16 MB limit) vs <=1.9x at the ws>=384 shapes the
+    base caps were calibrated on — per-phase fixed temporaries amortize
+    worse over narrow rows.  Derate proportionally below ws=256."""
+    cap = int(base_mb * 1024 * 1024 * (1.0 if esz == 2 else 0.42))
+    if ws is not None and ws < 256:
+        cap = cap * ws // 256
+    return cap
 
 
 def cpad16(c: int) -> int:
@@ -352,7 +361,7 @@ def pick_tile(h: int, ws: int, c_in: int, c_out: int, k: int = 3,
     """Largest row-tile that divides H and fits the front kernel's VMEM
     (Mosaic budgets by SUM of live buffers, no cross-stage reuse)."""
     if budget is None:
-        budget = vmem_cap(esz, 11)
+        budget = vmem_cap(esz, 11, ws)
     cp = cpad16(c_in)
     fallback = None
     for th in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
@@ -664,7 +673,7 @@ def pick_tile_s2d(gh: int, ws: int, pf: int, cb: int, c_out: int,
                   budget: int | None = None,
                   esz: int = 2) -> int | None:
     if budget is None:
-        budget = vmem_cap(esz, 11)
+        budget = vmem_cap(esz, 11, ws)
     nch = pf * pf * cb
     fallback = None
     for th in (16, 12, 8, 6, 4, 3, 2, 1):
@@ -706,7 +715,7 @@ def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
               if gh % t2 == 0 and
               (3 * nch * t2 * ws + nch * (padr * ws + TAIL))
               * jnp.dtype(dtype).itemsize
-              < vmem_cap(jnp.dtype(dtype).itemsize, 10))
+              < vmem_cap(jnp.dtype(dtype).itemsize, 10, ws))
     n_tiles = gh // th
     out = pl.pallas_call(
         functools.partial(_cab_back_kernel, th=th, ws=ws, w=x.gw, c=nch,
@@ -864,7 +873,7 @@ def conv_chw(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
     th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
                (2 * pf * pf * cb * (2 * LANE + (t2 + 2 * halo) * ws) * esz
                 + k * k * cb * t2 * ws * esz + 2 * c_out * t2 * ws * 4
-                + 2 * nch_out * t2 * ws * esz) < vmem_cap(esz, 10)),
+                + 2 * nch_out * t2 * ws * esz) < vmem_cap(esz, 10, ws)),
               next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
     assert th is not None
     n_tiles = gh // th
@@ -1095,7 +1104,7 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
                (2 * pf * pf * cb * (2 * LANE + (t2 + 2) * ws) * esz
                 + pf * pf * cb_out * (2 * LANE + (t2 + 2) * ws) * esz
                 + 3 * nch_out * t2 * ws * esz
-                + 6 * c_out * t2 * ws * 4) < vmem_cap(esz, 11)),
+                + 6 * c_out * t2 * ws * 4) < vmem_cap(esz, 11, ws)),
               next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
     assert th is not None
     n_tiles = gh // th

@@ -32,20 +32,38 @@ def _lane_ok_np(lp, ws, gw, gh, padr):
     return lane_ok
 
 
-def _phase_patches(src, taps, cb, pad_lanes, lp, masked, gw, ws):
-    """Stack the k*k tap slices for one output phase: (T, kk*cb, lp)."""
+def _tap_dot(src, taps, wl, cb, pad_lanes, lp, masked, gw, ws,
+             chunk_rows=256):
+    """f32-accumulated ``wl @ patch_stack`` -> (co, T, lp), with the tap
+    stack materialized in <=``chunk_rows``-sublane chunks.
+
+    The monolithic (T, kk*cb, lp) stack — and its same-size cotangent in
+    the VJP — dominated train-step HBM (570 MB per 25-tap rep conv at
+    T=16 patch 256, 64% allocator fragmentation); chunking bounds both
+    while keeping a >=128-deep MXU contraction."""
     t = src.shape[0]
     colc = np.arange(lp, dtype=np.int64) % ws
-    pieces = []
-    for blk, cdr, cdc in taps:
-        off = pad_lanes + cdr * ws + cdc
-        sl = jax.lax.slice(src, (0, blk * cb, off),
-                           (t, (blk + 1) * cb, off + lp))
-        if masked and cdc != 0:
-            ok = ((colc + cdc >= 0) & (colc + cdc < gw)).reshape(1, 1, lp)
-            sl = sl * jnp.asarray(ok, sl.dtype)
-        pieces.append(sl)
-    return jnp.concatenate(pieces, axis=1)
+    per = max(1, chunk_rows // cb)
+    acc = None
+    for i0 in range(0, len(taps), per):
+        sub = taps[i0:i0 + per]
+        pieces = []
+        for blk, cdr, cdc in sub:
+            off = pad_lanes + cdr * ws + cdc
+            sl = jax.lax.slice(src, (0, blk * cb, off),
+                               (t, (blk + 1) * cb, off + lp))
+            if masked and cdc != 0:
+                ok = ((colc + cdc >= 0) & (colc + cdc < gw)).reshape(
+                    1, 1, lp)
+                sl = sl * jnp.asarray(ok, sl.dtype)
+            pieces.append(sl)
+        patches = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=1)
+        w_sub = wl[:, i0 * cb:(i0 + len(sub)) * cb]
+        o = jax.lax.dot_general(w_sub, patches, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = o if acc is None else acc + o
+    return acc  # (co, t, lp) f32
 
 
 def conv_chw_xla(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
@@ -73,12 +91,9 @@ def conv_chw_xla(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
     blocks = []
     for a in range(pf_out):
         for b in range(pf_out):
-            patches = _phase_patches(src, tbl[(a, b)], cb, pad_lanes, lp,
-                                     masked, gw, ws)
-            o = jax.lax.dot_general(
-                patches, wlhs.T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (T, lp, c_out)
-            o = jnp.transpose(o, (0, 2, 1))
+            o = _tap_dot(src, tbl[(a, b)], wlhs, cb, pad_lanes, lp,
+                         masked, gw, ws)                 # (c_out, T, lp)
+            o = jnp.transpose(o, (1, 0, 2))
             if bias is not None:
                 o = o + bias.astype(jnp.float32).reshape(1, c_out, 1)
             if alpha is not None:
@@ -217,11 +232,8 @@ def naf_cab_chw_xla(y: ChwTensor, hw: ChwTensor | None,
     rs = []
     for a in range(pf):
         for b in range(pf):
-            patches = _phase_patches(src, tbl[(a, b)], cb, pad_lanes, lp,
-                                     masked, gw, ws)
-            r = jax.lax.dot_general(
-                wts['rep'], patches, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)          # (n, t, lp)
+            r = _tap_dot(src, tbl[(a, b)], wts['rep'], cb, pad_lanes, lp,
+                         masked, gw, ws)             # (n, t, lp)
             rb = jnp.transpose(r, (1, 0, 2)).astype(dtype)
             e2 = jax.lax.dot_general(
                 wts['w4'], rb, (((1,), (1,)), ((), ())),

@@ -858,6 +858,11 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     cap_mb = float(os.environ.get('SHIFTNET_NAF_CAP_MB',
                                   '14' if esz == 2 else '4'))
     cap = int(cap_mb * 1024 * 1024)
+    if ws < 256:
+        # Narrow-row derate — same calibration as chw.vmem_cap: observed
+        # scoped-VMEM inflation is ~1.4x worse at ws=128 than at the
+        # ws>=384 shapes the 14 MB cap was swept on.
+        cap = cap * ws // 256
     th = _pick_th(gh, lambda t2: _gate_budget(t2, ws, pf, n, cb, hcb,
                                               add_c, esz), cap)
     th = int(os.environ.get('SHIFTNET_NAF_TH_GATE', th))  # calibration only
@@ -1054,6 +1059,11 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
                  for i in range(rounds // 2)]
         stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *pairs)
 
+        # remat: save only the round-pair boundary activations; backward
+        # re-runs the pair's kernels (the reference trains the same config
+        # on 40-80 GB GPUs — without this the v5e's 16 GB can't hold the
+        # per-round residuals at reference patch/sequence sizes).
+        @jax.checkpoint
         def body(carry, prm):
             carry = one_round(carry, prm[0], False)
             carry = one_round(carry, prm[1], True)
@@ -1062,7 +1072,8 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
         x, _ = jax.lax.scan(body, x, stacked)
         return x
     for r in range(rounds):
-        x = one_round(x, cab_params[r], r % 2 == 1)
+        x = jax.checkpoint(one_round, static_argnums=(2,))(
+            x, cab_params[r], r % 2 == 1)
     return x
 
 

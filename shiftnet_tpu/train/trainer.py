@@ -150,11 +150,25 @@ class Trainer:
         val_freq = int(float(val_cfg.get('val_freq', 0)))
         it = start_iter
         data_sharding = batch_sharding(self.mesh)
-        for batch in self.loader:
+
+        def staged_batches():
+            """1-deep device-side prefetch (the reference CUDAPrefetcher,
+            prefetch_dataloader.py:90-133, stages the next batch on a side
+            CUDA stream): start batch N+1's async H2D transfer before batch
+            N is consumed, so the copy overlaps the device step."""
+            pending = None
+            for batch in self.loader:
+                staged = (batch, {k: jax.device_put(v, data_sharding)
+                                  for k, v in batch.items()})
+                if pending is not None:
+                    yield pending
+                pending = staged
+            if pending is not None:
+                yield pending
+
+        for batch, dev_batch in staged_batches():
             if it >= self.total_iters:
                 break
-            dev_batch = {k: jax.device_put(v, data_sharding)
-                         for k, v in batch.items()}
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   step_rng)
