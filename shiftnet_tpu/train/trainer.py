@@ -28,6 +28,22 @@ from shiftnet_tpu.utils.config import make_exp_dirs
 from shiftnet_tpu.utils.logging import TrainLogger, get_logger
 
 
+def staged_batches(loader, put):
+    """1-deep device-side prefetch (the reference CUDAPrefetcher,
+    ``prefetch_dataloader.py:90-133``, stages the next batch on a side CUDA
+    stream): issue batch N+1's async H2D transfer (``put``) before batch N
+    is consumed, so the copy overlaps the device step.  Yields
+    ``(host_batch, staged_batch)`` for every loader batch, in order."""
+    pending = None
+    for batch in loader:
+        staged = (batch, put(batch))
+        if pending is not None:
+            yield pending
+        pending = staged
+    if pending is not None:
+        yield pending
+
+
 class Trainer:
     def __init__(self, opt: dict[str, Any]):
         self.opt = opt
@@ -151,22 +167,9 @@ class Trainer:
         it = start_iter
         data_sharding = batch_sharding(self.mesh)
 
-        def staged_batches():
-            """1-deep device-side prefetch (the reference CUDAPrefetcher,
-            prefetch_dataloader.py:90-133, stages the next batch on a side
-            CUDA stream): start batch N+1's async H2D transfer before batch
-            N is consumed, so the copy overlaps the device step."""
-            pending = None
-            for batch in self.loader:
-                staged = (batch, {k: jax.device_put(v, data_sharding)
-                                  for k, v in batch.items()})
-                if pending is not None:
-                    yield pending
-                pending = staged
-            if pending is not None:
-                yield pending
-
-        for batch, dev_batch in staged_batches():
+        for batch, dev_batch in staged_batches(
+                self.loader, lambda b: {k: jax.device_put(v, data_sharding)
+                                        for k, v in b.items()}):
             if it >= self.total_iters:
                 break
             self.rng, step_rng = jax.random.split(self.rng)

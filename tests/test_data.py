@@ -93,3 +93,31 @@ def test_loader_deterministic(video_root):
     b1, b2 = first_batch(), first_batch()
     np.testing.assert_array_equal(b1['gt'], b2['gt'])
     np.testing.assert_array_equal(b1['lq'], b2['lq'])
+
+
+def test_staged_batches_order_and_lookahead():
+    """The trainer's 1-deep H2D prefetch must yield every batch exactly once,
+    in order, and stage batch N+1 before batch N is consumed."""
+    from shiftnet_tpu.train.trainer import staged_batches
+
+    staged_log = []
+    batches = [{'x': i} for i in range(5)]
+
+    def put(b):
+        staged_log.append(b['x'])
+        return {'x': b['x'] * 10}
+
+    seen = []
+    for host, dev in staged_batches(iter(batches), put):
+        # when batch N is yielded, N+1 (if any) has already been staged
+        assert staged_log[:len(seen) + 2] == list(
+            range(min(len(seen) + 2, 5)))
+        assert dev == {'x': host['x'] * 10}
+        seen.append(host['x'])
+    assert seen == [0, 1, 2, 3, 4]
+    assert staged_log == [0, 1, 2, 3, 4]
+
+
+def test_staged_batches_empty():
+    from shiftnet_tpu.train.trainer import staged_batches
+    assert list(staged_batches(iter([]), lambda b: b)) == []
