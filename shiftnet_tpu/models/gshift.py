@@ -56,6 +56,11 @@ class GShiftNetConfig:
     future_frames: int = 1          # num_ff
     fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
     fused_chw: bool = False         # whole-network packed-CHW path (infer.)
+    time_axis: str | None = None    # mesh axis name when the frame axis is
+    # shard_map-sharded (exact sequence parallelism: per-round one-frame
+    # ppermute halo exchange inside the temporal shifts; see ops/shift.py).
+    # Requires past_frames = future_frames = 0 (mask the loss instead of
+    # slicing the globally-indexed center frames) and the unfused path.
 
     @property
     def noise_map(self) -> bool:
@@ -110,13 +115,16 @@ class Encoder2(nn.Module):
             boundary_patch=cfg.boundary_patch, mid_ca=cfg.cab_mid_ca,
             last_bias=cfg.cab_last_bias,
             repconv_depthwise=cfg.repconv_depthwise,
+            time_axis=cfg.time_axis,
             dtype=self.dtype)
+        scab_kw = dict(time_axis=cfg.time_axis, **cab_kw)
 
         x = CAB(nf0, name='concat', **cab_kw)(x)
         shortcut = x
         if cfg.encoder2_level0_shift_cabs:
-            x = ShiftCAB(nf0, name='encoder_level0', **cab_kw)(x)
-            x = ShiftCAB(nf0, reverse=True, name='encoder_level0_1', **cab_kw)(x)
+            x = ShiftCAB(nf0, name='encoder_level0', **scab_kw)(x)
+            x = ShiftCAB(nf0, reverse=True, name='encoder_level0_1',
+                         **scab_kw)(x)
         if chw_in:
             # down01 (k=2 s=2 conv + PReLU) via the generic packed conv.
             z = jnp.zeros((1, 2, 2, x.c), self.dtype)
@@ -156,9 +164,9 @@ class Encoder2(nn.Module):
             # Big variants: plain-CAB (or Shift_CAB) encoder, 3 levels;
             # shift blocks only in the decoder.
             if cfg.encoder2_level1_shift_cabs:
-                enc1 = ShiftCAB(nf, name='encoder_level1', **cab_kw)(x)
+                enc1 = ShiftCAB(nf, name='encoder_level1', **scab_kw)(x)
                 enc11 = ShiftCAB(nf, reverse=True,
-                                 name='encoder_level1_1', **cab_kw)(enc1)
+                                 name='encoder_level1_1', **scab_kw)(enc1)
             else:
                 enc1 = CAB(nf, name='encoder_level1', **cab_kw)(x)
                 enc11 = CAB(nf, name='encoder_level1_1', **cab_kw)(enc1)
@@ -252,8 +260,17 @@ class GShiftNet(nn.Module):
             assert noise_map is not None, 'denoise variants require a noise map'
             inp = jnp.concatenate([x, noise_map.astype(x.dtype)], axis=-1)
 
+        if cfg.time_axis is not None:
+            # Sharded frame axis: center slicing indexes GLOBAL frames, which
+            # a shard-local slice can't express — predict all T frames and
+            # mask the loss instead (train/step.py make_tsharded_train_step).
+            assert fb == 0 and ff == 0, (
+                'time-sharded models must use past_frames=future_frames=0; '
+                'mask the loss over center frames instead')
+
         from shiftnet_tpu.ops import chw
-        if cfg.fused_chw and chw.tfr_shapes_ok(x.shape[1], x.shape[2]):
+        if (cfg.fused_chw and cfg.time_axis is None
+                and chw.tfr_shapes_ok(x.shape[1], x.shape[2])):
             return self._forward_chw(inp, shortcut, center, tfr_kw)
 
         x0 = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,

@@ -285,12 +285,16 @@ class ShiftCAB(nn.Module):
     reduction: int
     use_bias: bool = False
     reverse: bool = False
+    time_axis: str | None = None  # mesh axis when T is shard_map-sharded
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from shiftnet_tpu.ops import chw, naf_chw
         if isinstance(x, chw.ChwTensor):
+            assert self.time_axis is None, (
+                'packed-CHW ShiftCAB does not support a sharded frame axis; '
+                'build the model with fused_chw=False for time parallelism')
             assert self.kernel_size == 3 and not self.use_bias
             z = jnp.zeros((1, 1, 1, x.c), self.dtype)
             r = Conv2d(self.n_feat, self.kernel_size,
@@ -307,7 +311,8 @@ class ShiftCAB(nn.Module):
                                            boundary_patch=True)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.cab_chw_d(y, params, self.reduction)
-        x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True)
+        x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True,
+                                   axis=self.time_axis)
         res = Conv2d(self.n_feat, self.kernel_size, use_bias=self.use_bias,
                      dtype=self.dtype, name='body__0')(x)
         res = PReLU(dtype=self.dtype, name='body__1')(res)
@@ -575,6 +580,7 @@ class EncoderShiftBlock(nn.Module):
     mid_ca: bool = False
     last_bias: bool = False
     repconv_depthwise: bool = False
+    time_axis: str | None = None  # mesh axis when T is shard_map-sharded
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -584,6 +590,10 @@ class EncoderShiftBlock(nn.Module):
         number = self.n_feat // 2 // 8
         add_c = 8 * number
         if isinstance(x, chw.ChwTensor):
+            assert self.time_axis is None, (
+                'packed-CHW shift blocks do not support a sharded frame '
+                'axis; build the model with fused_chw=False for time '
+                'parallelism')
             # packed-CHW fused path: declare the identical param tree via
             # dummy XLA-module calls, then run the naf_chw kernels.
             n = self.n_feat
@@ -626,7 +636,8 @@ class EncoderShiftBlock(nn.Module):
                 suffix = '' if r == 0 else f'_{r}'
                 reverse = (r % 2 == 1)
                 y = temporal_channel_shift(x, reverse=reverse,
-                                           boundary_patch=self.boundary_patch)
+                                           boundary_patch=self.boundary_patch,
+                                           axis=self.time_axis)
                 hw = y[..., -add_c:] if reverse else y[..., :add_c]
                 hw = grouped_spatial_shift(hw, number)
                 x = CAB2(self.n_feat, add_c,
@@ -654,7 +665,8 @@ class EncoderShiftBlock(nn.Module):
         def one(x, p2p1, reverse):
             p2, p1 = p2p1
             y = temporal_channel_shift(x, reverse=reverse,
-                                       boundary_patch=self.boundary_patch)
+                                       boundary_patch=self.boundary_patch,
+                                       axis=self.time_axis)
             hw = y[..., -add_c:] if reverse else y[..., :add_c]
             hw = grouped_spatial_shift(hw, number)
             x = cab2.apply({'params': p2}, y, hw)

@@ -108,6 +108,7 @@ def temporal_channel_shift(
     reverse: bool = False,
     boundary_patch: bool = True,
     div: int = 2,
+    axis: str | None = None,
 ) -> jax.Array:
     """Temporal half-channel shift over the frame axis.
 
@@ -122,6 +123,11 @@ def temporal_channel_shift(
         input (big variants + small denoise); ``False`` keeps the circular
         roll (small deblur).
       div: channel split divisor (always 2 in the reference).
+      axis: mesh axis name when the frame axis is sharded (``shard_map``
+        over a 'time' mesh axis).  The one-frame cross-shard movement
+        becomes a ``ppermute`` of a single edge frame's half-channels —
+        exact (not halo-approximate) sequence parallelism; differentiable
+        (the transpose is the reverse ppermute).
 
     Returns:
       ``(T, H, W, C)`` tensor: forward => ``y[t] = [x[t-1][C/s:], x[t][:C/s]]``,
@@ -129,6 +135,9 @@ def temporal_channel_shift(
     """
     c = x.shape[-1]
     cs = c // div
+    if axis is not None:
+        return _temporal_channel_shift_sharded(
+            x, cs, reverse=reverse, boundary_patch=boundary_patch, axis=axis)
     if not reverse:
         # y[t] = [x[t-1][c-cs:], x[t][:c-cs]]
         y = jnp.concatenate(
@@ -146,12 +155,51 @@ def temporal_channel_shift(
     return y
 
 
+def _temporal_channel_shift_sharded(x, cs: int, *, reverse: bool,
+                                    boundary_patch: bool, axis: str):
+    """Frame-axis-sharded temporal shift (inside ``shard_map``): exchange one
+    edge frame's shifted half-channels with the neighbor shard via
+    ``ppermute``, then patch the global boundary frame (shard 0 / n-1 only).
+
+    Bit-identical to the unsharded path on the gathered result: the circular
+    ppermute wrap reproduces ``jnp.roll``'s wraparound, and ``boundary_patch``
+    overwrites the wrapped frame exactly as ``gshift_deblur1.py:513/:517``.
+    """
+    c = x.shape[-1]
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    if not reverse:
+        # y[t] = [x[t-1][c-cs:], x[t][:c-cs]]; shard needs left neighbor's
+        # last frame.
+        h = x[..., c - cs:]
+        recv = jax.lax.ppermute(
+            h[-1:], axis, [(i, (i + 1) % n) for i in range(n)])
+        h_prev = jnp.concatenate([recv, h[:-1]], axis=0)
+        y = jnp.concatenate([h_prev, x[..., : c - cs]], axis=-1)
+        if boundary_patch:
+            first = jnp.where(idx == 0, x[:1], y[:1])
+            y = jnp.concatenate([first, y[1:]], axis=0)
+    else:
+        # y[t] = [x[t][cs:], x[t+1][:cs]]; shard needs right neighbor's
+        # first frame.
+        h = x[..., :cs]
+        recv = jax.lax.ppermute(
+            h[:1], axis, [(i, (i - 1) % n) for i in range(n)])
+        h_next = jnp.concatenate([h[1:], recv], axis=0)
+        y = jnp.concatenate([x[..., cs:], h_next], axis=-1)
+        if boundary_patch:
+            last = jnp.where(idx == n - 1, x[-1:], y[-1:])
+            y = jnp.concatenate([y[:-1], last], axis=0)
+    return y
+
+
 def gsts(
     x: jax.Array,
     number: int,
     *,
     reverse: bool = False,
     boundary_patch: bool = True,
+    axis: str | None = None,
 ) -> jax.Array:
     """Full grouped spatial-temporal shift: temporal roll + grouped spatial
     shift of the temporally-moved half, concatenated to the output.
@@ -162,7 +210,8 @@ def gsts(
     temporally-shifted channels (front ``8*number`` for forward, back for
     reverse).
     """
-    y = temporal_channel_shift(x, reverse=reverse, boundary_patch=boundary_patch)
+    y = temporal_channel_shift(x, reverse=reverse,
+                               boundary_patch=boundary_patch, axis=axis)
     if not reverse:
         hw = y[..., : 8 * number]
     else:

@@ -62,9 +62,35 @@ class Trainer:
         # fused_chw trains on the packed-CHW Pallas forward with the custom
         # VJPs (ops/chw_grad.py); shapes the packing can't take fall back
         # per-shape inside the model.  Opt-out via `fused: false`.
-        fused = bool(opt.get('fused', True)) and compute_dtype == jnp.bfloat16
+        #
+        # `time_parallel: N` shards each clip's FRAME axis over an N-way
+        # 'time' mesh axis (exact sequence parallelism, ppermute halo
+        # exchange per shift round — train/step.py make_tsharded_train_step).
+        # This is how reference-scale sequences (n_sequence 16-23 @ patch
+        # 256, options/gopro_deblur.yml:13,20) train when a single chip's
+        # HBM can't hold the clip: per-device activations scale 1/N.  The
+        # t-sharded step runs the unfused (XLA) forward: the packed-CHW
+        # Pallas kernels don't take a sharded frame axis.
+        self.time_parallel = int(opt.get('time_parallel', 1))
+        fused = (bool(opt.get('fused', True))
+                 and compute_dtype == jnp.bfloat16
+                 and self.time_parallel == 1)
+        # self.model is always traceable OUTSIDE shard_map (init, visual
+        # dumps, validation); the time-axis twin (identical param tree —
+        # time_axis/past/future don't touch parameters) exists only for the
+        # sharded step.  `model_overrides` lets configs/tests shrink or tweak
+        # the architecture (e.g. tiny widths for smoke tests).
+        mov = dict(opt.get('model_overrides') or {})
         self.model = build_model(variant, dtype=compute_dtype,
-                                 fused_chw=fused)
+                                 fused_chw=fused, **mov)
+        self._ts_model = None
+        if self.time_parallel > 1:
+            assert int(opt['n_sequence']) % self.time_parallel == 0, (
+                'n_sequence must divide by time_parallel',
+                opt['n_sequence'], self.time_parallel)
+            self._ts_model = build_model(variant, dtype=compute_dtype,
+                                         past_frames=0, future_frames=0,
+                                         time_axis='time', **mov)
         self.task = TaskConfig(
             kind=task_kind,
             loss_spec=opt.get('loss_type', '1*L1'),
@@ -88,8 +114,16 @@ class Trainer:
         )
         self.optim_cfg = ocfg
 
-        # Mesh / sharding: pure data parallel by default.
-        self.mesh = make_mesh(time=1)
+        # Mesh / sharding: data parallel by default; ('data', 'time') when
+        # time_parallel > 1.  `device_platform` / `num_devices` pin the mesh
+        # (tests: a 1-device CPU mesh).
+        devs = None
+        if opt.get('device_platform'):
+            devs = jax.devices(str(opt['device_platform']))
+        if opt.get('num_devices'):
+            devs = list(devs if devs is not None
+                        else jax.devices())[:int(opt['num_devices'])]
+        self.mesh = make_mesh(time=self.time_parallel, devices=devs)
         n_dp = self.mesh.shape['data']
         self.batch_size = opt.get('batch_size_per_device', 1) * n_dp
         self.logger.info(
@@ -117,7 +151,9 @@ class Trainer:
                 augment=not opt.get('no_augment', False),
                 n_frames_per_video=opt.get('n_frames_per_video'))
         sampler = ShardedEpochSampler(
-            len(self.dataset), num_shards=jax.process_count(),
+            len(self.dataset),
+            ratio=int(ds_opt.get('dataset_enlarge_ratio', 1)),
+            num_shards=jax.process_count(),
             shard=jax.process_index(), seed=int(opt.get('manual_seed', 0)))
         self.loader = PrefetchLoader(
             self.dataset, sampler, batch_size=self.batch_size,
@@ -140,10 +176,21 @@ class Trainer:
         if restored is not None:
             state = restored
             self.logger.info(f'auto-resumed from step {int(state.step)}')
+            # Fast-forward the batch stream (index arithmetic, no decode) so
+            # the resumed run consumes exactly the batches the uninterrupted
+            # run would — resume is bitwise-reproducible
+            # (tests/test_trainer.py).  Reference auto-resume:
+            # train1.py:137-158 (which replays data instead).
+            self.loader.start_batch = int(state.step)
         self.state = jax.device_put(state, replicated(self.mesh))
 
-        step_fn = make_train_step(self.model, self.tx, self.task)
-        self.train_step = shard_train_step(step_fn, self.mesh)
+        if self.time_parallel > 1:
+            from shiftnet_tpu.train.step import make_tsharded_train_step
+            self.train_step = make_tsharded_train_step(
+                self._ts_model, self.tx, self.task, self.mesh)
+        else:
+            step_fn = make_train_step(self.model, self.tx, self.task)
+            self.train_step = shard_train_step(step_fn, self.mesh)
         self.rng = jax.random.PRNGKey(
             int(opt.get('manual_seed', 0)) + jax.process_index() + 1)
         self._vis_fwd = None
@@ -165,14 +212,21 @@ class Trainer:
         val_cfg = self.opt.get('val') or {}
         val_freq = int(float(val_cfg.get('val_freq', 0)))
         it = start_iter
-        data_sharding = batch_sharding(self.mesh)
+        if self.time_parallel > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sharding = NamedSharding(self.mesh, P('data', 'time'))
+        else:
+            data_sharding = batch_sharding(self.mesh)
 
         for batch, dev_batch in staged_batches(
                 self.loader, lambda b: {k: jax.device_put(v, data_sharding)
                                         for k, v in b.items()}):
             if it >= self.total_iters:
                 break
-            self.rng, step_rng = jax.random.split(self.rng)
+            # Step-keyed rng (not a sequential split): a resumed run at step
+            # N draws the same noise/sigma stream the uninterrupted run
+            # would — bitwise-reproducible resume for the denoise task.
+            step_rng = jax.random.fold_in(self.rng, it)
             self.state, metrics = self.train_step(self.state, dev_batch,
                                                   step_rng)
             it += 1
@@ -197,10 +251,17 @@ class Trainer:
         # One Evaluator for the whole run: its per-shape jit cache makes
         # every validation after the first compile-free.
         if getattr(self, '_validator', None) is None:
+            # `val.metrics` dispatches by name through the metric registry
+            # (eval/registry.py) — the reference's `with_metrics` loop
+            # (image_restoration_model.py:392-425); e.g.
+            #   val: {metrics: {psnr: {type: psnr},
+            #                   niqe: {type: calculate_niqe}}}
             self._validator = Evaluator(
                 self.opt['model'], self.state.params,
                 result_path=os.path.join(self.opt['path']['log'], 'val'),
-                bf16=self.opt.get('bf16', True))
+                bf16=self.opt.get('bf16', True),
+                metrics=val_cfg.get('metrics'),
+                overrides=self.opt.get('model_overrides'))
         ev = self._validator
         ev.params = self.state.params
         # reference validation options: grids tiling + rot/flip TTA
@@ -216,7 +277,9 @@ class Trainer:
                                  one_len=int(val_cfg.get('one_len', 16)),
                                  **gkw)
         self.logger.info(
-            f"[val @ {it}] PSNR {res['psnr']:.4f} SSIM {res['ssim']:.5f}")
+            f'[val @ {it}] ' + ' '.join(
+                f'{k.upper()} {v:.5g}' for k, v in res.items()
+                if isinstance(v, float)))
 
     def dump_visuals(self, it: int, batch):
         """Save an (input, gt, output) PNG triplet for the first clip's

@@ -89,6 +89,98 @@ def test_loss_decreases_over_steps():
     assert int(state.step) == 8
 
 
+@pytest.mark.parametrize('kind', ['deblur', 'denoise'])
+def test_tsharded_train_step_matches_single_device(kind):
+    """Sequence-parallel training (frame axis sharded over a 'time' mesh
+    axis, per-round ppermute halo exchange in fwd AND bwd, psum'd masked
+    loss) == the plain single-device train step.  This is the path that
+    makes reference-scale sequences (n_sequence 16-23 @ patch 256,
+    options/gopro_deblur.yml:13,20) trainable: per-device activations scale
+    1/time_shards."""
+    from shiftnet_tpu.train.step import make_tsharded_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # shift_rounds=2 exercises the lax.scan round-pair path (fwd + rev
+    # shifts with cross-shard ppermute inside a remat'd scan body).
+    tiny = dict(TINY, shift_rounds=2)
+    extra = {}
+    if kind == 'denoise':
+        # exercise ShiftCAB's sharded temporal shift too
+        extra = dict(encoder2_level0_shift_cabs=True)
+    variant = 'deblur_small' if kind == 'deblur' else 'denoise_small'
+    t, p, b = 8, 16, 2
+    with jax.default_device(CPU0):
+        model = build_model(variant, **tiny, **extra)
+        x0 = jnp.zeros((t, p, p, 3))
+        nm0 = jnp.zeros((t, p, p, 1)) if kind == 'denoise' else None
+        params = init_params(model, x0, nm0)
+        task = TaskConfig(kind=kind,
+                          center_slice=(1, 1) if kind == 'deblur' else (0, 0))
+        tx = build_optimizer(OptimConfig(total_iters=10, grad_clip=0.01),
+                             params)
+        state = TrainState.create(params, tx)
+        rngb = np.random.default_rng(0)
+        batch = {'gt': rngb.uniform(0, 1, (b, t, p, p, 3)).astype(np.float32)}
+        if kind == 'deblur':
+            batch['lq'] = rngb.uniform(
+                0, 1, (b, t, p, p, 3)).astype(np.float32)
+        rng = jax.random.PRNGKey(7)
+        s1, m1 = jax.jit(make_train_step(model, tx, task))(state, batch, rng)
+
+    mesh = make_mesh(data=2, time=4, devices=cpu_devices(8))
+    # identical param tree: time_axis / past / future are not parameters
+    model_ts = build_model(variant, past_frames=0, future_frames=0,
+                           time_axis='time', **tiny, **extra)
+    ts_step = make_tsharded_train_step(model_ts, tx, task, mesh)
+    clip_sh = NamedSharding(mesh, P('data', 'time'))
+    s2, m2 = ts_step(jax.device_put(state, replicated(mesh)),
+                     {k: jax.device_put(v, clip_sh) for k, v in batch.items()},
+                     jax.device_put(rng, replicated(mesh)))
+
+    assert np.allclose(float(m1['loss']), float(m2['loss']), rtol=1e-5), (
+        float(m1['loss']), float(m2['loss']))
+    l1 = jax.tree.leaves(jax.device_get(s1.params))
+    l2 = jax.tree.leaves(jax.device_get(s2.params))
+    for a, c in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_evaluator_tp_forward_window_matches_windowed():
+    """Evaluator(tp=N).forward_window == the reference's windowed inference
+    with window = T/tp (the documented edge-halo equivalence)."""
+    from shiftnet_tpu.eval.runner import Evaluator
+
+    n_dev, halo, local_t = 4, 1, 2
+    tt = n_dev * local_t
+    p = 16
+    with jax.default_device(CPU0):
+        model = build_model('deblur_small', past_frames=halo,
+                            future_frames=halo, **TINY)
+        params = init_params(model, jnp.zeros((local_t + 2 * halo, p, p, 3)))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (tt, p, p, 3)), jnp.float32)
+
+        def apply_fn(prm, clip):
+            return model.apply({'params': prm}, clip)
+
+        def pad_window(k):
+            lo, hi = k * local_t - halo, (k + 1) * local_t + halo
+            idx = np.clip(np.arange(lo, hi), 0, tt - 1)
+            return x[idx]
+
+        want_all = jnp.concatenate(
+            [apply_fn(params, pad_window(k)) for k in range(n_dev)], axis=0)
+        want = np.asarray(want_all)[halo:tt - halo]
+
+    ev = Evaluator('deblur_small', params, halo=halo, bf16=False,
+                   overrides=TINY, tp=n_dev, tp_devices=cpu_devices(n_dev),
+                   result_path='/tmp/tp_eval_test')
+    got = ev.forward_window(x)
+    assert got.shape == (tt - 2 * halo, p, p, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_temporal_parallel_matches_windowed():
     """T-sharded forward == per-window forward with the same halos."""
     from shiftnet_tpu.parallel.temporal import temporal_parallel_forward
