@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from shiftnet_tpu.data.video_dataset import _imread
-from shiftnet_tpu.eval.metrics import psnr as psnr_fn, ssim as ssim_fn
 from shiftnet_tpu.eval.window import (half_slices, mod_crop,
                                       plan_deblur_chunks,
                                       plan_denoise_chunks, quadrant_slices)
@@ -47,7 +46,8 @@ class EvalLogger:
 class Evaluator:
     def __init__(self, variant: str, params, *, result_path: str = 'results',
                  halo: int = 2, bf16: bool | None = None,
-                 save_images: bool = False, overrides: dict | None = None):
+                 save_images: bool = False, overrides: dict | None = None,
+                 metrics: dict | None = None, tp: int = 1, tp_devices=None):
         if bf16 is None:
             # Match the reference eval precisions: fp16 for deblur and
             # denoise-small (``test_deblur.py:86``, ``test_denoise_small.py:85``)
@@ -72,13 +72,40 @@ class Evaluator:
                                  **overrides)
         self.params = params
         self.dtype = dtype
+        # Configured metric set — reference ``val.metrics`` /
+        # ``with_metrics`` loop (``image_restoration_model.py:392-425``);
+        # default = the inference-local protocol the published numbers use
+        # (skimage PSNR + scipy-gaussian SSIM, ``test_deblur.py:25-49``).
+        self.metrics = dict(metrics) if metrics else {
+            'psnr': {'type': 'psnr'}, 'ssim': {'type': 'ssim'}}
         # Single-chip HBM envelope (input pixels per window) above which a
-        # window is split into half-height tiles.  The packed-CHW fused
-        # path stores activations dense (no NHWC 128-lane channel padding,
-        # ~3-5x smaller), so it fits far larger windows: a full
-        # 720p x 44-frame window runs in 16 GB (bench.py measures T=40).
-        # The NHWC/XLA path keeps the round-2 calibration.
-        self.px_envelope = (48_000_000 if cfg.fused_chw else 22_000_000)
+        # window is split into half-height tiles.  Packed-CHW path:
+        # calibrated on deblur_plus (a full 720p x 44-frame window, ~48.6M
+        # input px, fits 16 GB; bench.py measures T=40); the live-activation
+        # footprint scales roughly with the model widths (nf0 at full res +
+        # nf2 at half res), so small variants get a proportionally larger
+        # envelope.  NHWC/XLA path: activations are 128-lane padded
+        # regardless of width (round-2 calibration); f32 doubles bytes.
+        if cfg.fused_chw:
+            self.px_envelope = int(
+                48_000_000 * (24 + 80) / (cfg.n_feats0 + cfg.n_feats2))
+        else:
+            self.px_envelope = (22_000_000 if dtype == jnp.bfloat16
+                                else 11_000_000)
+        # Temporal (sequence) parallelism: tp > 1 shards each window's frame
+        # axis over a ('time',) mesh (parallel/temporal.py, ppermute halo
+        # exchange).  Edge-halo caveat: interior shard boundaries see exactly
+        # ``halo`` frames of context — equal to the reference's windowed
+        # inference with window = T/tp, not to the monolithic forward.
+        self.tp = int(tp)
+        self._tp_mesh = None
+        if self.tp > 1:
+            from shiftnet_tpu.parallel.mesh import make_mesh
+            devs = (tp_devices if tp_devices is not None
+                    else jax.devices()[:self.tp])
+            assert len(devs) >= self.tp, (
+                f'tp={self.tp} needs {self.tp} devices, have {len(devs)}')
+            self._tp_mesh = make_mesh(devices=devs[:self.tp], time=self.tp)
         self._jit_cache: dict[tuple, Any] = {}
         stamp = time.strftime('%Y-%m-%d %H:%M:%S')
         self.logger = EvalLogger(result_path, f'inference_log_{stamp}.txt')
@@ -120,23 +147,53 @@ class Evaluator:
         out_shape = (t - 2 * self.halo, h, w, 3)
         return merge_grids(preds, plans, out_shape, cs)
 
-    def forward_window(self, x) -> np.ndarray:
+    def forward_window(self, x, sigma: float | None = None) -> np.ndarray:
         """Forward one (T, H, W, C) input window -> (T - 2*halo, H, W, 3)
         f32; splits into half-height tiles only when the window exceeds
         the active path's HBM envelope (``px_envelope``) — the reference
-        quadrant-tiling analog (``test_denoise.py:153-173``).  This is the
-        exact forward ``bench.py`` scores."""
+        quadrant-tiling analog (``test_denoise.py:153-173``).  Denoise
+        variants pass ``sigma`` (the constant noise map is built per tile).
+        This is the exact forward ``bench.py`` scores."""
+        assert (sigma is not None) == self.cfg.noise_map, (
+            'sigma required iff the variant takes a noise map')
         tt, hh, ww, _ = x.shape
+
+        def run(xt):
+            if self.cfg.noise_map:
+                nm = jnp.full(xt.shape[:3] + (1,), sigma, self.dtype)
+                o = self._forward(xt.shape)(self.params, xt, nm)
+            elif self.tp > 1 and tt % self.tp == 0:
+                o = self._forward_tp(xt.shape)(self.params, xt)
+                o = o[self.halo:tt - self.halo]
+            else:
+                o = self._forward(xt.shape)(self.params, xt)
+            return np.asarray(o.astype(jnp.float32))
+
         if tt * hh * ww > self.px_envelope:
             out = np.zeros((tt - 2 * self.halo, hh, ww, 3), np.float32)
             for in_sl, crop_sl, out_sl in half_slices(hh, ww):
-                xt = x[:, in_sl[0], in_sl[1]]
-                o = self._forward(xt.shape)(self.params, xt)
-                o = np.asarray(o.astype(jnp.float32))
+                xt = jnp.asarray(x[:, in_sl[0], in_sl[1]])
+                o = run(xt)
                 out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
             return out
-        out = self._forward(x.shape)(self.params, x)
-        return np.asarray(out.astype(jnp.float32))
+        return run(jnp.asarray(x, self.dtype))
+
+    def _forward_tp(self, shape: tuple) -> Any:
+        """Frame-axis-sharded forward over the tp mesh: the window's T frames
+        are split over ``tp`` devices with ppermute'd 2-frame halos
+        (``parallel/temporal.py``); returns ALL T frames (the outer caller
+        drops the global-edge halo frames)."""
+        key = ('tp', shape)
+        if key not in self._jit_cache:
+            from shiftnet_tpu.parallel.temporal import temporal_parallel_forward
+
+            def apply_fn(params, clip):
+                return self.model.apply({'params': params}, clip)
+
+            fn = temporal_parallel_forward(apply_fn, self._tp_mesh,
+                                           halo=self.halo)
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     # -- deblur ------------------------------------------------------------
     def eval_deblur(self, data_path: str, one_len: int = 48, *,
@@ -148,11 +205,11 @@ class Evaluator:
         input_root = os.path.join(data_path, 'blur')
         gt_root = os.path.join(data_path, 'gt')
         videos = sorted(os.listdir(input_root))
-        total_psnr, total_ssim = {}, {}
+        totals: dict[str, dict[str, list]] = {}
         for v in videos:
             in_frames = sorted(glob.glob(os.path.join(input_root, v, '*')))
             gt_frames = sorted(glob.glob(os.path.join(gt_root, v, '*')))
-            vp, vs = [], []
+            vsc = {name: [] for name in self.metrics}
             for ch in plan_deblur_chunks(len(in_frames), one_len, self.halo):
                 t0 = time.time()
                 inp = np.stack([_imread(p) for p in in_frames[ch.in_start:ch.in_stop]])
@@ -161,37 +218,42 @@ class Evaluator:
                 gts = [mod_crop(g, 4) for g in gts]
                 x = jnp.asarray(inp, self.dtype) / 255.0
                 t1 = time.time()
-                tt, hh, ww, _ = x.shape
                 if grids:
                     out = self.forward_grids(x, crop_size=crop_size,
                                              trans_num=trans_num)
                 else:
                     out = self.forward_window(x)
                 t2 = time.time()
-                p_, s_ = self._score(out, gts, v, ch.out_start)
-                vp += p_; vs += s_
+                sc = self._score(out, gts, v, ch.out_start)
+                for name in vsc:
+                    vsc[name] += sc[name]
                 t3 = time.time()
                 self.logger.write(
-                    f'> {v}-{ch.in_start:05d} PSNR={p_[-1]:.5g}, '
-                    f'SSIM={s_[-1]:.4g} pre:{t1 - t0:.3f}s '
+                    f'> {v}-{ch.in_start:05d} '
+                    + self._fmt_last(sc)
+                    + f' pre:{t1 - t0:.3f}s '
                     f'fwd:{t2 - t1:.3f}s post:{t3 - t2:.3f}s')
-            total_psnr[v], total_ssim[v] = vp, vs
-        return self._summarize(total_psnr, total_ssim)
+            totals[v] = vsc
+        return self._summarize(totals)
 
     # -- denoise -----------------------------------------------------------
     def eval_denoise(self, data_path: str, sigma: float, *,
-                     tile: bool = True, seed: int = 0, grids: bool = False,
+                     tile: bool = False, seed: int = 0, grids: bool = False,
                      crop_size: int = 256, trans_num: int = 1) -> dict:
         """Protocol of ``test_denoise.py:91-224``: GT-only videos, gaussian
-        noise at fixed sigma, 4-quadrant tiled forward, PSNR/SSIM vs GT."""
+        noise at fixed sigma, PSNR/SSIM vs GT.  The default forward is the
+        envelope-driven ``forward_window`` (full frame when it fits — the
+        same win that carried deblur past quadrant tiling); ``tile=True``
+        forces the reference's fixed 4-quadrant tiling
+        (``test_denoise.py:153-173``) for protocol-parity runs."""
         gt_root = data_path
         videos = sorted(os.listdir(gt_root))
         rng = np.random.default_rng(seed)
         s = sigma / 255.0
-        total_psnr, total_ssim = {}, {}
+        totals: dict[str, dict[str, list]] = {}
         for v in videos:
             frames = sorted(glob.glob(os.path.join(gt_root, v, '*')))
-            vp, vs = [], []
+            vsc = {name: [] for name in self.metrics}
             for ch in plan_denoise_chunks(len(frames), self.halo):
                 t0 = time.time()
                 gt_clip = np.stack([_imread(p) for p in frames[ch.in_start:ch.in_stop]])
@@ -213,57 +275,69 @@ class Evaluator:
                         o = np.asarray(o.astype(jnp.float32))
                         out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
                 else:
-                    xt = jnp.asarray(noisy, self.dtype)
-                    nm = jnp.full(xt.shape[:3] + (1,), s, self.dtype)
-                    out = np.asarray(
-                        self._forward(xt.shape)(self.params, xt, nm)
-                        .astype(jnp.float32))
+                    out = self.forward_window(
+                        jnp.asarray(noisy, self.dtype), s)
                 t2 = time.time()
                 gts = [g for g in gt_clip[self.halo:gt_clip.shape[0] - self.halo]]
-                p_, s_ = self._score(out, gts, v, ch.out_start)
-                vp += p_; vs += s_
+                sc = self._score(out, gts, v, ch.out_start)
+                for name in vsc:
+                    vsc[name] += sc[name]
                 t3 = time.time()
                 self.logger.write(
-                    f'> {v}-{ch.in_start:05d} PSNR={p_[-1]:.5g}, '
-                    f'SSIM={s_[-1]:.4g} pre:{t1 - t0:.3f}s '
+                    f'> {v}-{ch.in_start:05d} '
+                    + self._fmt_last(sc)
+                    + f' pre:{t1 - t0:.3f}s '
                     f'fwd:{t2 - t1:.3f}s post:{t3 - t2:.3f}s')
-            total_psnr[v], total_ssim[v] = vp, vs
-        return self._summarize(total_psnr, total_ssim, per_video_avg=True)
+            totals[v] = vsc
+        return self._summarize(totals, per_video_avg=True)
 
     # -- shared ------------------------------------------------------------
-    def _score(self, out: np.ndarray, gts, video: str, index0: int):
-        ps, ss = [], []
+    def _score(self, out: np.ndarray, gts, video: str,
+               index0: int) -> dict[str, list]:
+        """Run every configured metric per frame (the reference's
+        ``with_metrics`` loop, ``image_restoration_model.py:392-425``)."""
+        from shiftnet_tpu.eval.registry import score_pair
+        scores: dict[str, list] = {name: [] for name in self.metrics}
         for i, gt in enumerate(gts):
             img = np.clip(out[i], 0.0, 1.0) * 255.0
-            ps.append(psnr_fn(img, gt, data_range=255))
-            ss.append(ssim_fn(img, gt))
+            for name, val in score_pair(img, gt, self.metrics).items():
+                scores[name].append(val)
             if self.save_images:
                 import imageio.v2 as imageio
                 d = os.path.join(self.result_path, video)
                 os.makedirs(d, exist_ok=True)
                 imageio.imwrite(os.path.join(d, f'{index0 + i:03d}.png'),
                                 img.astype(np.uint8))
-        return ps, ss
+        return scores
 
-    def _summarize(self, total_psnr, total_ssim, per_video_avg: bool = False):
-        sum_p = sum_s = n = 0
-        vavg_p = vavg_s = 0.0
-        for v in total_psnr:
-            ap = float(np.mean(total_psnr[v]))
-            as_ = float(np.mean(total_ssim[v]))
+    @staticmethod
+    def _fmt_last(sc: dict[str, list]) -> str:
+        return ', '.join(f'{name.upper()}={vals[-1]:.5g}'
+                         for name, vals in sc.items() if vals)
+
+    def _summarize(self, totals: dict[str, dict[str, list]],
+                   per_video_avg: bool = False):
+        names = list(self.metrics)
+        sums = {n: 0.0 for n in names}
+        vavg = {n: 0.0 for n in names}
+        n_frames = 0
+        for v, vsc in totals.items():
+            avgs = {n: float(np.mean(vsc[n])) for n in names}
             self.logger.write(
-                f'# Video:{v} AVG-PSNR={ap:.5g}, AVG-SSIM={as_:.4g}')
-            sum_p += sum(total_psnr[v]); sum_s += sum(total_ssim[v])
-            n += len(total_psnr[v])
-            vavg_p += ap; vavg_s += as_
-        res = {'psnr': sum_p / n, 'ssim': sum_s / n, 'n_frames': n}
-        self.logger.write(
-            f"# Total AVG-PSNR={res['psnr']:.5g}, AVG-SSIM={res['ssim']:.4g}")
+                f'# Video:{v} ' + ', '.join(
+                    f'AVG-{n.upper()}={avgs[n]:.5g}' for n in names))
+            for n in names:
+                sums[n] += sum(vsc[n])
+                vavg[n] += avgs[n]
+            n_frames += len(vsc[names[0]])
+        res: dict[str, Any] = {n: sums[n] / n_frames for n in names}
+        res['n_frames'] = n_frames
+        self.logger.write('# Total ' + ', '.join(
+            f'AVG-{n.upper()}={res[n]:.5g}' for n in names))
         if per_video_avg:
-            nv = len(total_psnr)
-            res['psnr_video_avg'] = vavg_p / nv
-            res['ssim_video_avg'] = vavg_s / nv
-            self.logger.write(
-                f"# Total AVG-PSNR={res['psnr_video_avg']:.5g}, "
-                f"AVG-SSIM={res['ssim_video_avg']:.4g}")
+            nv = len(totals)
+            for n in names:
+                res[f'{n}_video_avg'] = vavg[n] / nv
+            self.logger.write('# Total ' + ', '.join(
+                f"AVG-{n.upper()}={res[f'{n}_video_avg']:.5g}" for n in names))
         return res

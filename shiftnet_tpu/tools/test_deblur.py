@@ -29,6 +29,16 @@ def main():
     ap.add_argument('--result_path', default='infer_results')
     ap.add_argument('--one_len', type=int, default=48)
     ap.add_argument('--fp32', action='store_true')
+    ap.add_argument('--tp', type=int, default=1,
+                    help='shard each window over a tp-way time mesh '
+                         '(sequence-parallel inference; needs tp devices). '
+                         'Interior shard boundaries see exactly halo frames '
+                         'of context — equal to windowed inference with '
+                         'window = T/tp.')
+    ap.add_argument('--metric', action='append', default=None,
+                    help='metric registry entries, e.g. '
+                         '--metric niqe=calculate_niqe (repeatable); '
+                         'default psnr+ssim')
     ap.add_argument('--save_image', action='store_true')
     ap.add_argument('--profile', default=None,
                     help='capture a jax.profiler trace to this dir')
@@ -41,8 +51,11 @@ def main():
     args = ap.parse_args()
 
     params = load_params(args.variant, args.model_path, halo=2)
+    from shiftnet_tpu.tools.test_denoise import parse_metric_args
     ev = Evaluator(args.variant, params, result_path=args.result_path,
-                   bf16=False if args.fp32 else None, save_images=args.save_image)
+                   bf16=False if args.fp32 else None,
+                   save_images=args.save_image,
+                   metrics=parse_metric_args(args.metric), tp=args.tp)
     from shiftnet_tpu.utils.profiling import trace
     with trace(args.profile):
         res = ev.eval_deblur(args.data_path, one_len=args.one_len,

@@ -21,7 +21,19 @@ def main():
     ap.add_argument('--result_path', default='infer_results')
     ap.add_argument('--sigma', type=float, default=10.0)
     ap.add_argument('--fp32', action='store_true')
-    ap.add_argument('--no_tile', action='store_true')
+    ap.add_argument('--quadrant', action='store_true',
+                    help="force the reference's fixed 4-quadrant tiling "
+                         '(test_denoise.py:153-173); default is the '
+                         'envelope-driven full-frame window')
+    ap.add_argument('--no_tile', action='store_true',
+                    help='deprecated alias: full-frame is now the default')
+    ap.add_argument('--tp', type=int, default=1,
+                    help='shard each window over a tp-way time mesh '
+                         '(sequence-parallel inference; needs tp devices)')
+    ap.add_argument('--metric', action='append', default=None,
+                    help='metric registry entries, e.g. '
+                         '--metric niqe=calculate_niqe (repeatable); '
+                         'default psnr+ssim')
     ap.add_argument('--save_image', action='store_true')
     ap.add_argument('--profile', default=None,
                     help='capture a jax.profiler trace to this dir')
@@ -34,15 +46,28 @@ def main():
     args = ap.parse_args()
 
     params = load_params(args.variant, args.model_path, halo=2)
+    metrics = parse_metric_args(args.metric)
     ev = Evaluator(args.variant, params, result_path=args.result_path,
-                   bf16=False if args.fp32 else None, save_images=args.save_image)
+                   bf16=False if args.fp32 else None,
+                   save_images=args.save_image, metrics=metrics, tp=args.tp)
     from shiftnet_tpu.utils.profiling import trace
     with trace(args.profile):
         res = ev.eval_denoise(args.data_path, args.sigma,
-                              tile=not args.no_tile, grids=args.grids,
+                              tile=args.quadrant, grids=args.grids,
                               crop_size=args.crop_size,
                               trans_num=args.trans_num)
     print(res)
+
+
+def parse_metric_args(entries):
+    """['niqe=calculate_niqe', 'psnr=psnr'] -> registry metric dict."""
+    if not entries:
+        return None
+    out = {}
+    for e in entries:
+        name, _, typ = e.partition('=')
+        out[name] = {'type': typ or name}
+    return out
 
 
 if __name__ == '__main__':
