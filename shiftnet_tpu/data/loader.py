@@ -27,13 +27,20 @@ class PrefetchLoader:
 
     def __init__(self, dataset: VideoFolderDataset, sampler: ShardedEpochSampler,
                  *, batch_size: int = 1, num_threads: int = 2,
-                 queue_depth: int = 4, seed: int = 0):
+                 queue_depth: int = 4, seed: int = 0, start_batch: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_threads = max(1, num_threads)
         self.queue_depth = queue_depth
         self.seed = seed
+        # Resume support: skip the first `start_batch` global batches by
+        # index arithmetic (no decode) so a resumed run sees exactly the
+        # batch stream the uninterrupted run would — bitwise-reproducible
+        # training across preemptions (the per-sample RNG is (seed, epoch,
+        # idx)-keyed, so skipping is exact).  May be set any time before the
+        # first ``__iter__``.
+        self.start_batch = int(start_batch)
         self._stop = threading.Event()
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -48,10 +55,19 @@ class PrefetchLoader:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(self.num_threads) as pool:
             epoch = 0
+            gb = 0  # global batch counter (for start_batch skipping)
             while not self._stop.is_set():
                 indices = self.sampler.epoch_indices(epoch)
                 nb = len(indices) // self.batch_size
+                if gb + nb <= self.start_batch:  # whole epoch already consumed
+                    gb += nb
+                    epoch += 1
+                    continue
                 for b in range(nb):
+                    if gb < self.start_batch:
+                        gb += 1
+                        continue
+                    gb += 1
                     chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
                     samples = list(pool.map(
                         lambda i: self._sample(epoch, i), chunk))

@@ -69,6 +69,37 @@ def test_sampler_shards_partition():
     assert not np.array_equal(s0.epoch_indices(3), s0.epoch_indices(4))
 
 
+def test_sampler_enlarge_ratio():
+    """dataset_enlarge_ratio (reference data_sampler.py:22-50): the epoch
+    index space is ratio-enlarged mod dataset size, so each epoch visits
+    every sample ~ratio times."""
+    s = ShardedEpochSampler(10, ratio=3, num_shards=1, shard=0, seed=0)
+    idx = s.epoch_indices(0)
+    assert len(idx) == 30
+    counts = np.bincount(idx, minlength=10)
+    assert counts.sum() == 30 and (counts == 3).all()
+
+
+def test_loader_start_batch_skips_exactly(video_root):
+    """Resume fast-forward: start_batch=k reproduces the uninterrupted
+    stream's batches k, k+1, ... bitwise (index arithmetic, no decode)."""
+    ds = VideoFolderDataset(video_root, n_seq=3, patch_size=16)
+
+    def batches(start, n):
+        loader = PrefetchLoader(ds, ShardedEpochSampler(len(ds), seed=5),
+                                batch_size=2, seed=5, start_batch=start)
+        it = iter(loader)
+        out = [next(it) for _ in range(n)]
+        loader.stop()
+        return out
+
+    full = batches(0, 5)
+    resumed = batches(3, 2)
+    for a, b in zip(full[3:], resumed):
+        np.testing.assert_array_equal(a['gt'], b['gt'])
+        np.testing.assert_array_equal(a['lq'], b['lq'])
+
+
 def test_prefetch_loader_batches(video_root):
     ds = VideoFolderDataset(video_root, n_seq=3, patch_size=16)
     sampler = ShardedEpochSampler(len(ds))
