@@ -79,9 +79,10 @@ def run(variant, t=12, h=720, w=1280):
                               ('f32-unfused', jnp.float32, False)):
         model = build_model(variant, dtype=dtype, past_frames=halo,
                             future_frames=halo, fused_chw=fused)
+        t0 = 2 * halo + 1  # init needs >=1 center frame past the halos
         params = perturb_betas(init_params(
-            model, jnp.zeros((4, 64, 64, 3), dtype),
-            jnp.zeros((4, 64, 64, 1), dtype) if noise else None, seed=0))
+            model, jnp.zeros((t0, 64, 64, 3), dtype),
+            jnp.zeros((t0, 64, 64, 1), dtype) if noise else None, seed=0))
         xt = jnp.asarray(x, dtype)
         if noise:
             nm = jnp.full(xt.shape[:3] + (1,), s, dtype)
@@ -103,5 +104,7 @@ def run(variant, t=12, h=720, w=1280):
 if __name__ == '__main__':
     variants = sys.argv[1:] or ['deblur_plus', 'denoise_small']
     for v in variants:
-        # denoise_small at 720p quadrant-scale is fine; keep shapes moderate
-        run(v, t=8, h=480, w=854) if v.startswith('denoise') else run(v)
+        # f32-unfused NHWC at 720p is 5.3x lane-padded: 16 frames needs
+        # 25.3 GB HBM (measured OOM).  4 center frames (8 total) fits.
+        # Denoise at 480p needs a mod-16 width (the U-Net halves H/W 3x).
+        run(v, t=8, h=480, w=848) if v.startswith('denoise') else run(v, t=4)

@@ -76,6 +76,23 @@ def main():
         timeit('shift ops (temporal+extract+spatial)', shifts, xc.data)
 
         @jax.jit
+        def temporal_only(data):
+            xt = chw.ChwTensor(data, h, w, 4, pf, n)
+            return naf_chw.temporal_shift_chw(xt, reverse=False,
+                                              boundary_patch=True).data
+
+        @jax.jit
+        def gsts_only(data):
+            yt = chw.ChwTensor(data, h, w, 4, pf, n)
+            return naf_chw.gsts_hw_chw(yt, add_c, number,
+                                       reverse=False).data
+
+        temporal_only(xc.data)
+        timeit('  temporal shift alone', temporal_only, xc.data)
+        gsts_only(ydata)
+        timeit('  gsts (extract+spatial) alone', gsts_only, ydata)
+
+        @jax.jit
         def cab2(ydata, hwdata):
             y = chw.ChwTensor(ydata, h, w, 4, pf, n)
             hw = chw.ChwTensor(hwdata, h, w, 4, pf, add_c)
