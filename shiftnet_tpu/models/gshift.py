@@ -189,7 +189,10 @@ class Encoder2(nn.Module):
             if chw_in:
                 y = SkipUpSample(nf, dtype=self.dtype, name='up32')(
                     dec33, chw.to_nhwc(skip2))
-                y = chw.from_nhwc(y, padr=4, pf=1)
+                # padr=8 >= the flat layout's max shift (8 cells) so the
+                # decoder_level2 blocks take the Pallas shift-round kernel
+                # (shift_round_eligible); +4 pad rows is ~2% HBM at H/8.
+                y = chw.from_nhwc(y, padr=8, pf=1)
             else:
                 y = SkipUpSample(nf, dtype=self.dtype, name='up32')(dec33,
                                                                     skip2)

@@ -145,6 +145,28 @@ def to_nhwc(x: ChwTensor) -> jax.Array:
 
 
 
+def repad_chw(x: ChwTensor, padr: int) -> ChwTensor:
+    """Change the zero pad-row count (one thin XLA slice/pad; the zero-pad
+    invariant makes both directions content-preserving).  Used where
+    tensors with different padr meet (e.g. the L2 decoder runs padr=8 for
+    the shift-round kernel's halo but up21's skip carries padr=4)."""
+    if padr == x.padr:
+        return x
+    t, nch, _ = x.data.shape
+    gh, ws = x.gh, x.ws
+    if padr < x.padr:
+        d = x.padr - padr
+        lp_new = flat_len(gh, x.gw, padr)
+        # the slice's trailing TAIL lands on old bottom pad rows — zero.
+        data = jax.lax.slice(x.data, (0, 0, d * ws),
+                             (t, nch, d * ws + lp_new))
+    else:
+        d = padr - x.padr
+        data = jnp.pad(x.data[:, :, : (gh + 2 * x.padr) * ws],
+                       ((0, 0), (0, 0), (d * ws, d * ws + TAIL)))
+    return ChwTensor(data, x.h, x.w, padr, x.pf, x.c)
+
+
 def vmem_cap(esz: int, base_mb: int = 10, ws: int | None = None) -> int:
     """Calibrated VMEM budget cap: Mosaic stack-allocates unrolled
     temporaries without reuse, inflating actual usage ~2.3x over
@@ -1084,6 +1106,7 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
     Output matches ``skip``'s shape (phase factor doubles; same grid)."""
     if interpret is None:
         interpret = _interpret()
+    x = repad_chw(x, skip.padr)  # output shares the skip buffer's layout
     t = x.t
     pf, cb, ws, gw, gh, padr = x.pf, x.cb, x.ws, x.gw, x.gh, x.padr
     dtype = x.data.dtype

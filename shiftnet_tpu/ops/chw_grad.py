@@ -115,6 +115,33 @@ def _up_bwd(res, ct):
 up_skip_chw_d.defvjp(_up_fwd, _up_bwd)
 
 
+# -- fused shift round (temporal y + spatial hw) ----------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def shift_round_chw_d(x, add_c, number, reverse, boundary_patch):
+    return naf_chw.shift_round_chw(x, add_c, number, reverse=reverse,
+                                   boundary_patch=boundary_patch)
+
+
+def _shift_round_fwd(x, add_c, number, reverse, boundary_patch):
+    out = shift_round_chw_d(x, add_c, number, reverse, boundary_patch)
+    return out, x
+
+
+def _shift_round_bwd(add_c, number, reverse, boundary_patch, x, ct):
+    def f(x):
+        y = naf_chw.temporal_shift_chw(x, reverse=reverse,
+                                       boundary_patch=boundary_patch)
+        return y, naf_chw.gsts_hw_chw(y, add_c, number, reverse=reverse)
+
+    _, vjp = jax.vjp(f, x)
+    return vjp(ct)
+
+
+shift_round_chw_d.defvjp(_shift_round_fwd, _shift_round_bwd)
+
+
 # -- NAF CAB1/CAB2 ----------------------------------------------------------
 
 

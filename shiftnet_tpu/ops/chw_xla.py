@@ -298,6 +298,8 @@ def up_skip_chw_xla(x: ChwTensor, params: dict[str, Any],
                     skip: ChwTensor) -> ChwTensor:
     """jnp equivalent of ``chw.up_skip_chw``: conv1x1 (commuted) ->
     bilinear up2x (torch half-pixel, edge clamp) -> + skip."""
+    from shiftnet_tpu.ops.chw import repad_chw
+    x = repad_chw(x, skip.padr)  # match the kernel's layout normalization
     t = x.t
     pf, cb, ws, gw, gh, padr = x.pf, x.cb, x.ws, x.gw, x.gh, x.padr
     dtype = x.data.dtype

@@ -193,6 +193,296 @@ def gsts_hw_chw(y: ChwTensor, add_c: int, number: int, *,
 
 
 # ---------------------------------------------------------------------------
+# Fused shift-round Pallas kernel: one pass producing the temporally shifted
+# tensor y (pure HBM->HBM DMA — the shift is a (frame, channel-block)
+# permutation, so it runs at memory speed with zero compute) and the
+# spatially shifted extra-channel tensor hw (24-direction select-assembly
+# over lane-offset slices of a haloed VMEM slab read straight from x).
+# Replaces the XLA ``temporal_shift_chw`` + ``gsts_hw_chw`` pair, whose
+# skinny sublane-offset concat operands relayout poorly (measured 8.5 +
+# 7.2 ms per round at the 720p L1 shape vs ~1 + ~1.5 ms floors).
+# ---------------------------------------------------------------------------
+
+
+def shift_round_eligible(x: ChwTensor, add_c: int) -> bool:
+    """Whether the Pallas shift-round kernel supports this layout: the
+    half-channel / extra-channel DMA row offsets must be 8-aligned
+    (verified legal by tools/probe_dma_align.py; odd offsets are not), and
+    the hw slab halo (8//pf cells) must fit inside the zero pad rows."""
+    if 8 % x.pf:
+        return False
+    s = 8 // x.pf
+    half = x.c // 2
+    return (x.padr >= s and half % 8 == 0 and add_c % 8 == 0
+            and 0 < add_c <= half)
+
+
+def _shift_round_kernel(x_hbm, y_hbm, hw_hbm, sbuf, obuf, zbuf, sem, ysem,
+                        osem, zsem, *, th, ws, gw, gh, n, cb, add_c, acb,
+                        pf, padr, t, s, reverse, patch, dirs, slack, dtype):
+    """Grid (T, row-tiles).  Per frame: 2*pp (+pp channel-pad) HBM->HBM
+    copies build y (started at the frame's first tile, waited at its last,
+    overlapping the hw assembly); per tile: the hw source channel window is
+    DMA'd from x with the temporal-shift addressing (boundary frames via
+    ``pl.when`` branches — identical copy shapes keep the semaphore
+    accounting branch-independent), then each direction group's piece is a
+    static lane-offset slice of the slab and the groups are folded with
+    sublane-iota selects (groups partition the channel range, so a select
+    chain writes each output row exactly once — no sublane-offset stores)."""
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    total = t * n_tiles
+    g = ti * n_tiles + hi
+    slot = jax.lax.rem(g, 2)
+    half = n // 2
+    pp = pf * pf
+    m = th * ws
+    rows_in = th + 2 * s
+    lp = x_hbm.shape[2]
+
+    # --- y: HBM->HBM copies (start at hi==0; wait at hi==n_tiles-1) -------
+    def y_starts(ti2):
+        def plain(sm, c0s, c0d):
+            for p in range(pp):
+                pltpu.make_async_copy(
+                    x_hbm.at[sm, pl.ds(p * cb + c0s, half)],
+                    y_hbm.at[ti2, pl.ds(p * cb + c0d, half)], ysem).start()
+
+        ti2 = jnp.asarray(ti2, jnp.int32)
+        if not reverse:
+            src = jnp.where(ti2 == 0, t - 1, ti2 - 1)
+            is_edge = ti2 == 0
+        else:
+            src = jnp.where(ti2 == t - 1, 0, ti2 + 1)
+            is_edge = ti2 == t - 1
+
+        def moved():
+            if not reverse:
+                plain(src, half, 0)   # moved half lands FIRST (torch roll)
+                plain(ti2, 0, half)
+            else:
+                plain(ti2, half, 0)
+                plain(src, 0, half)
+
+        if patch:
+            @pl.when(is_edge)
+            def _():
+                plain(ti2, 0, 0)      # boundary frame: unshifted input
+                plain(ti2, half, half)
+
+            @pl.when(~is_edge)
+            def _():
+                moved()
+        else:
+            moved()
+        if cb != n:
+            for p in range(pp):
+                pltpu.make_async_copy(
+                    x_hbm.at[ti2, pl.ds(p * cb + n, cb - n)],
+                    y_hbm.at[ti2, pl.ds(p * cb + n, cb - n)], ysem).start()
+
+    @pl.when(hi == 0)
+    def _():
+        y_starts(ti)
+
+    # --- hw source slab: 2-slot lookahead DMA from x -----------------------
+    # hw[t] = gsts(y[t][base : base+add_c]); in x terms that channel window
+    # is rows [c0_main) of the PREV/NEXT frame (or [c0_edge) of the frame
+    # itself at a patched boundary): fwd y[t][:add_c] = x[t-1][half:half+
+    # add_c], rev y[t][n-add_c:] = x[t+1][n-add_c-half : half].
+    if not reverse:
+        c0_main, c0_edge = half, 0
+    else:
+        c0_main, c0_edge = n - add_c - half, n - add_c
+
+    def slab_addr(ti2):
+        ti2 = jnp.asarray(ti2, jnp.int32)  # keep predicates traced even for
+        # the static program-0 lookahead (a Python-bool ``~edge`` is -2,
+        # which pl.when treats as TRUE — both branches would issue copies)
+        if not reverse:
+            src = jnp.where(ti2 == 0, (0 if patch else t - 1), ti2 - 1)
+            edge = ti2 == 0
+        else:
+            src = jnp.where(ti2 == t - 1, (t - 1 if patch else 0), ti2 + 1)
+            edge = ti2 == t - 1
+        return src, edge
+
+    def start_slab(gg, sl):
+        ti2 = gg // n_tiles
+        lane0 = (jax.lax.rem(gg, n_tiles) * th + padr - s) * ws
+        src, edge = slab_addr(ti2)
+
+        def issue(sm, c0):
+            for p in range(pp):
+                pltpu.make_async_copy(
+                    x_hbm.at[sm, pl.ds(p * cb + c0, add_c),
+                             pl.ds(lane0, rows_in * ws)],
+                    sbuf.at[sl, pl.ds(p * acb, add_c),
+                            pl.ds(LANE, rows_in * ws)],
+                    sem.at[sl]).start()
+
+        if patch:
+            @pl.when(edge)
+            def _():
+                issue(ti2, c0_edge)
+
+            @pl.when(~edge)
+            def _():
+                issue(src, c0_main)
+        else:
+            issue(src, c0_main)
+
+    @pl.when(g == 0)
+    def _():
+        sbuf[...] = jnp.zeros_like(sbuf)
+        obuf[...] = jnp.zeros_like(obuf)
+        zbuf[...] = jnp.zeros_like(zbuf)
+        start_slab(0, 0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_slab(g + 1, jax.lax.rem(g + 1, 2))
+
+    for _ in range(pp):   # shape-only waits (one per phase copy)
+        pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(0, add_c), pl.ds(0, rows_in * ws)],
+            sbuf.at[slot, pl.ds(0, add_c), pl.ds(LANE, rows_in * ws)],
+            sem.at[slot]).wait()
+
+    # --- 24-direction assembly, one phase at a time (fori_loop keeps a
+    # single phase of unrolled select temporaries live) --------------------
+    colm = _col_index(m, ws)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (add_c, 1), 0)
+    dycs = sorted({d[2] for d in dirs})
+
+    def phase_body(p, carry):
+        row0 = pl.multiple_of(p * acb, 16)
+        # one haloed window load per distinct row shift; the +-dxc lane
+        # nudge is a STATIC slice of the 128-lead window (dynamic lane
+        # offsets must be 128-multiples; static nudges are free).
+        wins = {dyc: sbuf[pl.ds(slot, 1), pl.ds(row0, add_c),
+                          pl.ds((s - dyc) * ws, m + 2 * LANE)]
+                for dyc in dycs}
+        acc = None
+        for c0, csz, dyc, dxc in dirs:
+            piece = jax.lax.slice(
+                wins[dyc], (0, 0, LANE - dxc),
+                (1, add_c, LANE - dxc + m))[0]
+            if dxc != 0 and abs(dxc) > slack:
+                # out col c reads src col c - dxc; wraps past the slack
+                # zeros into the adjacent row's real pixels — mask them.
+                ok = (colm - dxc >= 0) & (colm - dxc < gw)
+                piece = jnp.where(ok, piece, jnp.zeros_like(piece))
+            if acc is None:
+                acc = piece
+            else:
+                mask = (ri >= c0) & (ri < c0 + csz)
+                acc = jnp.where(mask, piece, acc)
+        if slack:
+            # restore the layout's zero-slack invariant (dxc < 0 slices
+            # pull the next row's lead pixels into the slack columns).
+            acc = jnp.where(colm < gw, acc, jnp.zeros_like(acc))
+        obuf[pl.ds(row0, add_c), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, pp, phase_body, 0)
+    _emit_tile(hw_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
+
+    @pl.when(hi == n_tiles - 1)
+    def _():
+        n_y = 2 * pp + (pp if cb != n else 0)
+        for _ in range(2 * pp):
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, half)],
+                y_hbm.at[0, pl.ds(0, half)], ysem).wait()
+        for _ in range(n_y - 2 * pp):
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, cb - n)],
+                y_hbm.at[0, pl.ds(0, cb - n)], ysem).wait()
+
+
+def _shift_round_budget(th, ws, pf, add_c, acb, s, padr, esz):
+    """Live-VMEM estimate per program: slab slots + obuf/zbuf + the per-dyc
+    windows and the unrolled slice/select temporaries of ONE phase."""
+    pp = pf * pf
+    m = th * ws
+    rows_in = th + 2 * s
+    return (2 * pp * acb * (2 * LANE + rows_in * ws) * esz
+            + pp * acb * m * esz                      # obuf
+            + pp * acb * (padr * ws + TAIL) * esz     # zbuf
+            + 5 * add_c * (m + 2 * LANE) * esz        # dyc windows
+            + 50 * add_c * m * esz                    # slice+select temps
+            + m * 4 * 2)                              # col iota
+
+
+def shift_round_chw(x: ChwTensor, add_c: int, number: int, *,
+                    reverse: bool, boundary_patch: bool,
+                    interpret: bool | None = None
+                    ) -> tuple[ChwTensor, ChwTensor]:
+    """Fused shift round: returns (temporal-shift y, spatially shifted hw),
+    equal to ``temporal_shift_chw`` + ``gsts_hw_chw`` (reference
+    ``gshift_deblur1.py:470-528``).  Falls back to the XLA pair on layouts
+    the kernel's DMA alignment rules exclude (``shift_round_eligible``)."""
+    if interpret is None:
+        interpret = _interpret()
+    if not shift_round_eligible(x, add_c):
+        y = temporal_shift_chw(x, reverse=reverse,
+                               boundary_patch=boundary_patch)
+        return y, gsts_hw_chw(y, add_c, number, reverse=reverse)
+    assert add_c == 8 * number, (add_c, number)
+    t, nch, lp = x.data.shape
+    pf, n, cb, ws, gw, gh, padr = (x.pf, x.c, x.cb, x.ws, x.gw, x.gh,
+                                   x.padr)
+    dtype = x.data.dtype
+    pp = pf * pf
+    acb = cpad16(add_c)
+    s = 8 // pf
+    slack = ws - gw
+    dirs = tuple((c0, csz, dy // pf, dx // pf)
+                 for c0, csz, dy, dx in shift_dir_table(number) if csz)
+
+    import os
+    esz = jnp.dtype(dtype).itemsize
+    cap_mb = float(os.environ.get('SHIFTNET_SHIFT_CAP_MB',
+                                  '13' if esz == 2 else '4'))
+    cap = int(cap_mb * 1024 * 1024)
+    if ws < 256:
+        cap = cap * ws // 256
+    th = _pick_th(gh, lambda t2: _shift_round_budget(t2, ws, pf, add_c, acb,
+                                                     s, padr, esz), cap)
+    th = int(os.environ.get('SHIFTNET_SHIFT_TH', th))  # calibration only
+    n_tiles = gh // th
+
+    y, hw = pl.pallas_call(
+        functools.partial(_shift_round_kernel, th=th, ws=ws, gw=gw, gh=gh,
+                          n=n, cb=cb, add_c=add_c, acb=acb, pf=pf,
+                          padr=padr, t=t, s=s, reverse=reverse,
+                          patch=boundary_patch, dirs=dirs, slack=slack,
+                          dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((t, nch, lp), dtype),
+                   jax.ShapeDtypeStruct((t, pp * acb, lp), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((2, pp * acb, 2 * LANE + (th + 2 * s) * ws), dtype),
+            pltpu.VMEM((pp * acb, th * ws), dtype),
+            pltpu.VMEM((pp * acb, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x.data)
+    return (ChwTensor(y, x.h, x.w, padr, pf, n),
+            ChwTensor(hw, x.h, x.w, padr, pf, add_c))
+
+
+# ---------------------------------------------------------------------------
 # Weight preparation (host side).
 # ---------------------------------------------------------------------------
 
@@ -1045,12 +1335,11 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
     kw = dict(groups=groups, mid_ca=mid_ca, use_last_bias=last_bias,
               interpret=interpret)
 
-    from shiftnet_tpu.ops.chw_grad import naf_cab_chw_d
+    from shiftnet_tpu.ops.chw_grad import naf_cab_chw_d, shift_round_chw_d
 
     def one_round(x, prm, reverse):
-        y = temporal_shift_chw(x, reverse=reverse,
-                               boundary_patch=boundary_patch)
-        hw = gsts_hw_chw(y, add_c, number, reverse=reverse)
+        y, hw = shift_round_chw_d(x, add_c, number, reverse,
+                                  boundary_patch)
         p2, p1 = prm
         x = naf_cab_chw_d(y, hw, p2, groups, mid_ca, last_bias)
         return naf_cab_chw_d(x, None, p1, groups, mid_ca, last_bias)

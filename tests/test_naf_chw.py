@@ -72,6 +72,39 @@ def test_spatial_shift(pf, w):
     assert _err(got, ref)[0] == 0
 
 
+# W=96: ample slack; W=122: slack (6) < max shift (8), masked branch;
+# W=128: lane-aligned (ws == gw), zero slack.
+@pytest.mark.parametrize('pf,padr', [(1, 8), (2, 4)])
+@pytest.mark.parametrize('w', [96, 122, 128])
+@pytest.mark.parametrize('reverse', [False, True])
+@pytest.mark.parametrize('bp', [False, True])
+def test_shift_round_kernel(pf, padr, w, reverse, bp):
+    """Fused Pallas shift-round kernel (HBM->HBM temporal copies + VMEM
+    spatial assembly) == the XLA temporal_shift_chw + gsts_hw_chw pair."""
+    x = _x(w)
+    xc = chw.from_nhwc(x, padr=padr, pf=pf)
+    assert naf_chw.shift_round_eligible(xc, ADD_C)
+    yr = naf_chw.temporal_shift_chw(xc, reverse=reverse, boundary_patch=bp)
+    hwr = naf_chw.gsts_hw_chw(yr, ADD_C, NUMBER, reverse=reverse)
+    y, hw = naf_chw.shift_round_chw(xc, ADD_C, NUMBER, reverse=reverse,
+                                    boundary_patch=bp, interpret=True)
+    # full buffers (not just to_nhwc) so the zero-pad invariant is checked
+    assert _err(y.data, yr.data)[0] == 0
+    assert _err(hw.data, hwr.data)[0] == 0
+
+
+def test_shift_round_fallback():
+    """Ineligible layouts (padr < max shift at pf=1) take the XLA pair."""
+    xc = chw.from_nhwc(_x(), padr=4, pf=1)
+    assert not naf_chw.shift_round_eligible(xc, ADD_C)
+    y, hw = naf_chw.shift_round_chw(xc, ADD_C, NUMBER, reverse=False,
+                                    boundary_patch=True, interpret=True)
+    yr = naf_chw.temporal_shift_chw(xc, reverse=False, boundary_patch=True)
+    hwr = naf_chw.gsts_hw_chw(yr, ADD_C, NUMBER, reverse=False)
+    assert _err(y.data, yr.data)[0] == 0
+    assert _err(hw.data, hwr.data)[0] == 0
+
+
 @pytest.mark.parametrize('pf', [1, 2])
 @pytest.mark.parametrize('w', [96, 128])
 def test_dw3x3(pf, w):

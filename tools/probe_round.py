@@ -48,7 +48,10 @@ def main():
     dt_ = jnp.bfloat16
     rng = np.random.default_rng(0)
 
-    for lname, h, w, pf in [('L1', 360, 640, 2), ('L2', 180, 320, 1)]:
+    # padr mirrors the fused model path: 4 at L1 (pf=2), 8 at L2 (pf=1,
+    # models/gshift.py up32 conversion) so shift_round_chw is eligible.
+    for lname, h, w, pf, padr in [('L1', 360, 640, 2, 4),
+                                  ('L2', 180, 320, 1, 8)]:
         print(f'--- {lname}: ({t},{h},{w},{n}) pf={pf} ---')
         x = jnp.asarray(rng.standard_normal((t, h, w, n)), dt_)
         mod2 = CAB2(n, add_c, kernel_size=5, reduction=4, dtype=dt_)
@@ -61,11 +64,11 @@ def main():
             jax.tree.map(jnp.asarray, p2), add_c=add_c)
         naf1 = naf_chw.naf_params_from_tree(jax.tree.map(jnp.asarray, p1))
 
-        xc = chw.from_nhwc(x, padr=4, pf=pf)
+        xc = chw.from_nhwc(x, padr=padr, pf=pf)
 
         @jax.jit
         def shifts(data):
-            xt = chw.ChwTensor(data, h, w, 4, pf, n)
+            xt = chw.ChwTensor(data, h, w, padr, pf, n)
             y = naf_chw.temporal_shift_chw(xt, reverse=False,
                                            boundary_patch=True)
             hw = naf_chw.extract_hw_chw(y, add_c, reverse=False)
@@ -76,14 +79,27 @@ def main():
         timeit('shift ops (temporal+extract+spatial)', shifts, xc.data)
 
         @jax.jit
+        def fused_shift(data):
+            xt = chw.ChwTensor(data, h, w, padr, pf, n)
+            y, hw = naf_chw.shift_round_chw(xt, add_c, number,
+                                            reverse=False,
+                                            boundary_patch=True)
+            return y.data, hw.data
+
+        yf, hwf = fused_shift(xc.data)
+        err = max(float(jnp.max(jnp.abs((yf - ydata).astype(jnp.float32)))),
+                  float(jnp.max(jnp.abs((hwf - hwdata).astype(jnp.float32)))))
+        timeit(f'fused shift kernel (err={err})', fused_shift, xc.data)
+
+        @jax.jit
         def temporal_only(data):
-            xt = chw.ChwTensor(data, h, w, 4, pf, n)
+            xt = chw.ChwTensor(data, h, w, padr, pf, n)
             return naf_chw.temporal_shift_chw(xt, reverse=False,
                                               boundary_patch=True).data
 
         @jax.jit
         def gsts_only(data):
-            yt = chw.ChwTensor(data, h, w, 4, pf, n)
+            yt = chw.ChwTensor(data, h, w, padr, pf, n)
             return naf_chw.gsts_hw_chw(yt, add_c, number,
                                        reverse=False).data
 
@@ -94,14 +110,14 @@ def main():
 
         @jax.jit
         def cab2(ydata, hwdata):
-            y = chw.ChwTensor(ydata, h, w, 4, pf, n)
-            hw = chw.ChwTensor(hwdata, h, w, 4, pf, add_c)
+            y = chw.ChwTensor(ydata, h, w, padr, pf, n)
+            hw = chw.ChwTensor(hwdata, h, w, padr, pf, add_c)
             return naf_chw.naf_cab_chw(y, hw, naf2, groups=n // 8,
                                        interpret=False).data
 
         @jax.jit
         def cab1(data):
-            xt = chw.ChwTensor(data, h, w, 4, pf, n)
+            xt = chw.ChwTensor(data, h, w, padr, pf, n)
             return naf_chw.naf_cab_chw(xt, None, naf1, groups=n // 8,
                                        interpret=False).data
 
@@ -113,13 +129,13 @@ def main():
         for probe in ('gate', 'rep'):
             fn1 = jax.jit(lambda data, _p=probe: jax.tree.leaves(
                 naf_chw.naf_cab_chw(
-                    chw.ChwTensor(data, h, w, 4, pf, n), None, naf1,
+                    chw.ChwTensor(data, h, w, padr, pf, n), None, naf1,
                     groups=n // 8, stage=_p, interpret=False))[0])
             timeit(f'CAB1 through {probe}', fn1, ydata)
             fn2 = jax.jit(lambda yd, hd, _p=probe: jax.tree.leaves(
                 naf_chw.naf_cab_chw(
-                    chw.ChwTensor(yd, h, w, 4, pf, n),
-                    chw.ChwTensor(hd, h, w, 4, pf, add_c), naf2,
+                    chw.ChwTensor(yd, h, w, padr, pf, n),
+                    chw.ChwTensor(hd, h, w, padr, pf, add_c), naf2,
                     groups=n // 8, stage=_p, interpret=False))[0])
             timeit(f'CAB2 through {probe}', fn2, ydata, hwdata)
 
