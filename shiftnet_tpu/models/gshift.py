@@ -180,6 +180,16 @@ class Encoder2(nn.Module):
             e22 = chw.to_nhwc(enc22) if chw_in else enc22
             y = DownSample(nf, with_prelu=cfg.downsample_prelu,
                            dtype=self.dtype, name='down23')(e22)
+            if chw_in:
+                # Level 3 (H/8) is below the shared quarter grid, so it
+                # gets its OWN packed grid (pf=1): the L3 CABs and shift
+                # blocks were ~9% of the fused 720p forward on the XLA
+                # NHWC path (~2.7x the packed per-pixel cost — 128-lane
+                # padding at C=80 plus unfusable shift/LN glue).  Only the
+                # stride-2 down23 and the bilinear up32 stay NHWC (one
+                # conv each; cross-grid strides aren't representable).
+                # padr=8 >= the flat layout's max spatial shift.
+                y = chw.from_nhwc(y, padr=8, pf=1)
             enc3 = CAB(nf, name='encoder_level3', **cab_kw)(y)
             enc33 = CAB(nf, name='encoder_level3_1', **cab_kw)(enc3)
 
@@ -188,7 +198,7 @@ class Encoder2(nn.Module):
             skip2 = CAB(nf, name='skip_attn2', **cab_kw)(enc22)
             if chw_in:
                 y = SkipUpSample(nf, dtype=self.dtype, name='up32')(
-                    dec33, chw.to_nhwc(skip2))
+                    chw.to_nhwc(dec33), chw.to_nhwc(skip2))
                 # padr=8 >= the flat layout's max shift (8 cells) so the
                 # decoder_level2 blocks take the Pallas shift-round kernel
                 # (shift_round_eligible); +4 pad rows is ~2% HBM at H/8.

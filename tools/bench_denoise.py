@@ -31,7 +31,9 @@ def main():
     bf16 = '--bf16' in sys.argv
     one_len = int(os.environ.get('SHIFTNET_BENCH_ONELEN', '12'))
     halo = 2
-    h, w = 480, 854
+    # DAVIS 480p is 854 wide; the eval CLI mod-pads to the U-Net's factor
+    # (eval/window.py) — bench the padded-to-mod-16 extent directly.
+    h, w = 480, 848
     t = one_len + 2 * halo
     sigma = 10.0 / 255.0
 

@@ -75,8 +75,13 @@ def run(variant, t=12, h=720, w=1280):
         x = np.clip(x + np.random.default_rng(1).normal(0, s, x.shape), 0, 1)
 
     outs = {}
-    for tag, dtype, fused in (('bf16-fused', jnp.bfloat16, True),
-                              ('f32-unfused', jnp.float32, False)):
+    legs = [('bf16-fused', jnp.bfloat16, True),
+            ('f32-unfused', jnp.float32, False)]
+    if os.environ.get('SHIFTNET_DRIFT_BF16_UNFUSED', '0') == '1':
+        # splits kernel-path drift from precision drift: bf16-unfused vs
+        # bf16-fused isolates the Pallas path at the same dtype.
+        legs.append(('bf16-unfused', jnp.bfloat16, False))
+    for tag, dtype, fused in legs:
         model = build_model(variant, dtype=dtype, past_frames=halo,
                             future_frames=halo, fused_chw=fused)
         t0 = 2 * halo + 1  # init needs >=1 center frame past the halos
@@ -98,6 +103,12 @@ def run(variant, t=12, h=720, w=1280):
     d = psnr(outs['bf16-fused'], outs['f32-unfused'])
     print(f'== {variant}: PSNR(bf16-fused vs f32-unfused) = {d:.2f} dB '
           f'(drift {255.0 / (10 ** (d / 20)):.4f}/255 RMS)')
+    if 'bf16-unfused' in outs:
+        dp = psnr(outs['bf16-fused'], outs['bf16-unfused'])
+        dd = psnr(outs['bf16-unfused'], outs['f32-unfused'])
+        print(f'== {variant}: path drift (bf16 fused vs unfused) = '
+              f'{dp:.2f} dB; dtype drift (bf16 vs f32, unfused) = '
+              f'{dd:.2f} dB')
     return d
 
 
