@@ -87,8 +87,16 @@ class Evaluator:
         # envelope.  NHWC/XLA path: activations are 128-lane padded
         # regardless of width (round-2 calibration); f32 doubles bytes.
         if cfg.fused_chw:
+            # Verified fit: 720p x 40 frames (36.9M px) compiles and runs in
+            # 15.75G usable HBM; 720p x 48 does NOT (18.12G program
+            # requirement — only 9.79G of it live data, the rest buffer-
+            # assignment fragmentation of the ~3.3G full-T packed tensors
+            # that stage2 consumes).  37M keeps a hair of slack over the
+            # verified point.
             self.px_envelope = int(
-                48_000_000 * (24 + 80) / (cfg.n_feats0 + cfg.n_feats2))
+                37_000_000 * (24 + 80) / (cfg.n_feats0 + cfg.n_feats2))
+            if dtype == jnp.float32:  # f32 doubles every activation byte
+                self.px_envelope //= 2
         else:
             self.px_envelope = (22_000_000 if dtype == jnp.bfloat16
                                 else 11_000_000)

@@ -56,6 +56,10 @@ class GShiftNetConfig:
     future_frames: int = 1          # num_ff
     fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
     fused_chw: bool = False         # whole-network packed-CHW path (infer.)
+    stage2_chunk: int = 12          # fused path: stage2 is strictly
+    # per-frame, so it runs as a lax.scan over frame chunks of (at most)
+    # this many frames — its concat/orb temporaries then scale with the
+    # chunk, not the window (at T=52 720p they were ~15 GB).  0 disables.
     time_axis: str | None = None    # mesh axis name when the frame axis is
     # shard_map-sharded (exact sequence parallelism: per-round one-frame
     # ppermute halo exchange inside the temporal shifts; see ops/shift.py).
@@ -223,9 +227,17 @@ class Encoder2(nn.Module):
                 Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,
                        name='conv_hr0')(z)
                 p = self.variables['params']['conv_hr0']['conv']
-                out = chw_grad.conv_chw_d(chw.concat_chw([up, skip]),
-                                   jnp.asarray(p['kernel'], self.dtype),
-                                   jnp.asarray(p['bias'], self.dtype), None)
+                kc = jnp.asarray(p['kernel'], self.dtype)
+                # conv(concat(up, skip)) as one multi-input kernel
+                # (chw.conv_concat_chw; conv is linear in its input
+                # channels): the 2*nf0-channel full-res packed concat
+                # never materializes — its output (5.4 GB at T=52 720p)
+                # + slice temp were the largest HLO temps of the whole
+                # forward, and XLA can't fuse adds of separate
+                # pallas_call outputs either.
+                out = chw_grad.conv_concat_chw_d(
+                    [up, skip], [kc[:, :, :nf0], kc[:, :, nf0:]],
+                    jnp.asarray(p['bias'], self.dtype), None)
             else:
                 z = jnp.zeros((1, 1, 1, nf0), self.dtype)
                 PReLU(dtype=self.dtype, name='act')(z)
@@ -341,6 +353,14 @@ class GShiftNet(nn.Module):
                 y = TFRUNet(cfg.n_feats0, name=f'{prefix}{i + 1}',
                             **tfr_kw)(y)
             return y
+        return self._orb_fn(prefix, tfr_kw)(y)
+
+    def _orb_fn(self, prefix, tfr_kw):
+        """Pure applier for the orb chain (apply mode only): the stacked
+        param read happens here, OUTSIDE any jax control flow, so the
+        returned closure is safe to call inside ``lax.scan`` bodies (the
+        stage2 frame-chunk loop)."""
+        cfg = self.cfg
         v = self.variables['params']
         stacked = jax.tree.map(
             lambda *ls: jnp.stack(ls),
@@ -351,8 +371,11 @@ class GShiftNet(nn.Module):
         def body(carry, prm):
             return orb.apply({'params': prm}, carry), None
 
-        y, _ = jax.lax.scan(body, y, stacked)
-        return y
+        def run(y):
+            y, _ = jax.lax.scan(body, y, stacked)
+            return y
+
+        return run
 
     def _forward_chw(self, inp, shortcut, center, tfr_kw):
         """Whole-network packed-CHW path: two layout conversions total
@@ -392,22 +415,66 @@ class GShiftNet(nn.Module):
         dec = Encoder2(cfg, dtype=dt, name='stage1')(sam)
 
         feats = sam if cfg.stage2_uses_conv_trans else sam0
-        z = chw.concat_chw([tslice(x0, center), tslice(feats, center),
-                            tslice(dec, center)])
         k, b = conv_params('rconcat', 3 * nf0, 3, cfg.rconcat_bias)
         alpha = None
         if cfg.rconcat_act:
             PReLU(dtype=dt, name='lrelu')(jnp.zeros((1, 1, 1, nf0), dt))
             alpha = jnp.asarray(
                 self.variables['params']['lrelu']['weight'], dt)
-        z = chw_grad.conv_chw_d(z, k, b, alpha)
-        shortcut2 = z
-        z = self._orb_chain('rorb', z, tfr_kw)
-        if cfg.stage_residual:
-            z = chw.add_chw(z, shortcut2)
-        k, _ = conv_params('conv_last', nf0, cfg.conv_last_ks, False)
-        z = chw_grad.conv_chw_d(z, k, None, None)
+        kl, _ = conv_params('conv_last', nf0, cfg.conv_last_ks, False)
+
+        def stage2(x0c, featsc, decc, rorb):
+            # conv(concat(a, b, c)) as one multi-input kernel (conv is
+            # linear in its input channels): the 3*nf0-channel packed
+            # concat never materializes — its output + slice/pad
+            # temporaries were the largest stage2 HLO temps at long
+            # windows (chw.conv_concat_chw).
+            z = chw_grad.conv_concat_chw_d(
+                [x0c, featsc, decc],
+                [k[:, :, :nf0], k[:, :, nf0:2 * nf0], k[:, :, 2 * nf0:]],
+                b, alpha)
+            shortcut2 = z
+            z = rorb(z)
+            if cfg.stage_residual:
+                z = chw.add_chw(z, shortcut2)
+            return chw_grad.conv_chw_d(z, kl, None, None)
+
+        fb = center.start
+        t_c = center.stop - fb
+        cs = _chunk_size(t_c, cfg.stage2_chunk)
+        if self.is_initializing() or cs >= t_c:
+            z = stage2(tslice(x0, center), tslice(feats, center),
+                       tslice(dec, center),
+                       lambda y: self._orb_chain('rorb', y, tfr_kw))
+        else:
+            # Stage2 has no temporal mixing (every op is per-frame), so a
+            # scan over frame chunks is exact and caps its live HBM at
+            # chunk scale.  dynamic_slice (not a materialized center
+            # slice) keeps the full-T inputs read in place.
+            rorb = self._orb_fn('rorb', tfr_kw)
+
+            def chunk(ct, i):
+                d = jax.lax.dynamic_slice(
+                    ct.data, (fb + i * cs, 0, 0), (cs,) + ct.data.shape[1:])
+                return chw.ChwTensor(d, ct.h, ct.w, ct.padr, ct.pf, ct.c)
+
+            def body(_, i):
+                zc = stage2(chunk(x0, i), chunk(feats, i), chunk(dec, i),
+                            rorb)
+                return None, zc.data
+
+            _, od = jax.lax.scan(body, None, jnp.arange(t_c // cs))
+            z = chw.ChwTensor(od.reshape((t_c,) + od.shape[2:]),
+                              x0.h, x0.w, x0.padr, x0.pf, 3)
         return chw.to_nhwc(z) + shortcut[center]
+
+
+def _chunk_size(t_c: int, pref: int) -> int:
+    """Largest divisor of ``t_c`` that is <= the configured chunk size
+    (<=0 disables chunking)."""
+    if pref <= 0 or t_c <= pref:
+        return t_c
+    return next(cs for cs in range(pref, 0, -1) if t_c % cs == 0)
 
 
 def build_model(name: str, *, dtype=jnp.float32, **overrides) -> GShiftNet:

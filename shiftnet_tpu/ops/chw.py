@@ -860,6 +860,151 @@ def _down_kernel(x_hbm, wlhs, bias, alpha, out_hbm, xbuf, pbuf, obuf, zbuf,
                padr, gh)
 
 
+def _conv_cat_kernel(*args, th, ws, gw, gh, cb_in, pf, c_out, cb_out,
+                     padr, taps, masked, use_bias, use_prelu, n_in, dtype):
+    """conv over a virtual channel-concat of ``n_in`` same-layout inputs:
+    each input's slab is DMA'd separately and its weights-lhs matmul is
+    accumulated in f32 values (conv is linear in its input channels) —
+    the concatenated tensor never exists, in VMEM or HBM."""
+    x_hbms = args[:n_in]
+    wlhs, bias, alpha = args[n_in:n_in + 3]
+    out_hbm = args[n_in + 3]
+    xbuf, pbuf, obuf, zbuf, sem, osem, zsem = args[n_in + 4:]
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    total = pl.num_programs(0) * n_tiles
+    g = ti * n_tiles + hi
+    halo = max(1, max(abs(cd) for tp in taps for _, cd, _ in tp))
+    rows = th + 2 * halo
+    nch = pf * pf * cb_in
+
+    def start(gg, sl):
+        hi2 = jax.lax.rem(gg, n_tiles)
+        lane0 = (hi2 * th + padr - halo) * ws
+        for j, xh in enumerate(x_hbms):
+            pltpu.make_async_copy(
+                xh.at[gg // n_tiles, :, pl.ds(lane0, rows * ws)],
+                xbuf.at[sl, pl.ds(j * nch, nch), pl.ds(LANE, rows * ws)],
+                sem.at[sl, j]).start()
+
+    @pl.when(g == 0)
+    def _():
+        xbuf[...] = jnp.zeros_like(xbuf)
+        obuf[...] = jnp.zeros_like(obuf)
+        zbuf[...] = jnp.zeros_like(zbuf)
+        start(0, 0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start(g + 1, jax.lax.rem(g + 1, 2))
+
+    slot = jax.lax.rem(g, 2)
+    for j in range(n_in):   # shape-only waits, one per started copy
+        pltpu.make_async_copy(
+            x_hbms[0].at[0, :, pl.ds(0, rows * ws)],
+            xbuf.at[slot, pl.ds(0, nch), pl.ds(LANE, rows * ws)],
+            sem.at[slot, j]).wait()
+
+    m = th * ws
+    col = _col_index((th + 2 * halo) * ws, ws) if masked else None
+    for p in range(pf * pf):
+        o = None
+        for j in range(n_in):
+            xv = xbuf[slot, pl.ds(j * nch, nch)]
+            oj = _phase_conv(xv, pbuf, LANE + halo * ws, th, ws, gw, cb_in,
+                             taps[p], wlhs[j], masked, col)
+            o = oj if o is None else o + oj
+        if use_bias:
+            o = o + bias[...].astype(jnp.float32)
+        if use_prelu:
+            a_s = alpha[0, 0].astype(jnp.float32)
+            o = jnp.maximum(o, 0) + a_s * jnp.minimum(o, 0)
+        o = o.astype(dtype)
+        if not masked:
+            o = jnp.where(col_slack_ok(m, ws, gw), o, jnp.zeros_like(o))
+        obuf[pl.ds(p * cb_out, c_out), :] = o
+    _emit_tile(out_hbm, obuf, zbuf, osem, zsem, ti, hi, n_tiles, th, ws,
+               padr, gh)
+
+
+def conv_concat_chw(xs: list[ChwTensor], kerns: list[jax.Array],
+                    bias: jax.Array | None, alpha: jax.Array | None, *,
+                    interpret: bool | None = None) -> ChwTensor:
+    """``conv_chw(concat_chw(xs), concat(kerns, axis=2), bias, alpha)``
+    without ever materializing the channel concat (convolution is linear
+    in its input channels: conv(cat(a, b)) == conv_a(a) + conv_b(b)).
+    At long 720p windows the packed concats this replaces were the
+    largest HLO temps of the whole forward (5.4 GB at T=52).  Stride 1;
+    all inputs must share layout (pf, c, grid); all kernels the same
+    (k, k, c_in) per input and one c_out."""
+    if interpret is None:
+        interpret = _interpret()
+    a = xs[0]
+    n_in = len(xs)
+    assert all(x.data.shape == a.data.shape and x.pf == a.pf
+               and x.c == a.c and x.padr == a.padr for x in xs)
+    assert all(k.shape == kerns[0].shape for k in kerns)
+    t = a.t
+    pf, cb, ws, gw, gh, padr = a.pf, a.cb, a.ws, a.gw, a.gh, a.padr
+    dtype = a.data.dtype
+    k = kerns[0].shape[0]
+    c_out = kerns[0].shape[3]
+    cb_out = cpad16(c_out)
+    nch_out = pf * pf * cb_out
+    masked = (ws == gw)
+
+    wlhs = jnp.stack([conv_lhs(kj, dtype) for kj in kerns])
+    tbl = phase_taps(pf, pf, k, 1, k // 2)
+    taps = [tbl[(ai, bi)] for ai in range(pf) for bi in range(pf)]
+    halo = max(1, max(abs(cd) for tp in taps for _, cd, _ in tp))
+    assert padr >= halo, (padr, halo)
+
+    bias_a = (bias.reshape(c_out, 1).astype(jnp.float32)
+              if bias is not None else jnp.zeros((c_out, 1), jnp.float32))
+    alpha_a = (alpha.reshape(1, 1).astype(jnp.float32)
+               if alpha is not None else jnp.zeros((1, 1), jnp.float32))
+
+    esz = jnp.dtype(dtype).itemsize
+    th = next((t2 for t2 in (16, 12, 8, 6, 4, 3, 2, 1) if gh % t2 == 0 and
+               (2 * n_in * pf * pf * cb * (2 * LANE + (t2 + 2 * halo) * ws)
+                * esz + k * k * cb * t2 * ws * esz
+                + 2 * c_out * t2 * ws * 4
+                + 2 * nch_out * t2 * ws * esz) < vmem_cap(esz, 10, ws)),
+              next(t2 for t2 in (1, 2, 3) if gh % t2 == 0))
+    n_tiles = gh // th
+    lp = flat_len(gh, gw, padr)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_cat_kernel, th=th, ws=ws, gw=gw, gh=gh,
+                          cb_in=cb, pf=pf, c_out=c_out, cb_out=cb_out,
+                          padr=padr, taps=taps, masked=masked,
+                          use_bias=bias is not None,
+                          use_prelu=alpha is not None, n_in=n_in,
+                          dtype=dtype),
+        grid=(t, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wlhs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # alpha
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((t, nch_out, lp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_in * pf * pf * cb,
+                        2 * LANE + (th + 2 * halo) * ws), dtype),
+            pltpu.VMEM((k * k * cb, th * ws), dtype),
+            pltpu.VMEM((nch_out, th * ws), dtype),
+            pltpu.VMEM((nch_out, padr * ws + TAIL), dtype),
+            pltpu.SemaphoreType.DMA((2, n_in)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(*[x.data for x in xs], wlhs, bias_a, alpha_a)
+    return ChwTensor(out, a.h, a.w, padr, pf, c_out)
+
+
 def conv_chw(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
              alpha: jax.Array | None, *, stride: int = 1,
              interpret: bool | None = None) -> ChwTensor:
@@ -957,9 +1102,16 @@ def concat_chw(tensors: list[ChwTensor]) -> ChwTensor:
     pp = a.pf * a.pf
     c_out = sum(x.c for x in tensors)
     cb_out = cpad16(c_out)
-    parts = [x.data.reshape(x.t, pp, x.cb, -1)[:, :, :x.c] for x in tensors]
-    out = jnp.concatenate(parts, axis=2)
-    out = jnp.pad(out, ((0, 0), (0, 0), (0, cb_out - c_out), (0, 0)))
+    # In-place updates into one zeros buffer instead of
+    # slice+concatenate+pad: XLA fuses each strided read into its update
+    # copy, so peak HBM is inputs + output — the slice/pad temporaries
+    # (2.7-5.4 GB each at T=52 720p) never materialize.
+    out = jnp.zeros((a.t, pp, cb_out, a.data.shape[-1]), a.data.dtype)
+    off = 0
+    for x in tensors:
+        part = x.data.reshape(x.t, pp, x.cb, -1)[:, :, :x.c]
+        out = jax.lax.dynamic_update_slice(out, part, (0, 0, off, 0))
+        off += x.c
     return ChwTensor(out.reshape(a.t, pp * cb_out, -1), a.h, a.w, a.padr,
                      a.pf, c_out)
 

@@ -63,6 +63,45 @@ def conv_chw_d(x: chw.ChwTensor, kern, bias, alpha, *,
                       alpha is not None)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _conv_cat_core(xs, kerns, bias, alpha, use_bias, use_prelu):
+    return chw.conv_concat_chw(list(xs), list(kerns),
+                               bias if use_bias else None,
+                               alpha if use_prelu else None)
+
+
+def _conv_cat_fwd(xs, kerns, bias, alpha, use_bias, use_prelu):
+    out = _conv_cat_core(xs, kerns, bias, alpha, use_bias, use_prelu)
+    return out, (xs, kerns, bias, alpha)
+
+
+def _conv_cat_bwd(use_bias, use_prelu, res, ct):
+    xs, kerns, bias, alpha = res
+
+    def f(xs, kerns, bias, alpha):
+        return chw_xla.conv_concat_chw_xla(
+            list(xs), list(kerns), bias if use_bias else None,
+            alpha if use_prelu else None)
+
+    _, vjp = jax.vjp(f, xs, kerns, bias, alpha)
+    return vjp(ct)
+
+
+_conv_cat_core.defvjp(_conv_cat_fwd, _conv_cat_bwd)
+
+
+def conv_concat_chw_d(xs: list[chw.ChwTensor], kerns: list, bias,
+                      alpha) -> chw.ChwTensor:
+    """Differentiable ``conv(concat(xs))`` without the materialized concat
+    (``chw.conv_concat_chw``); XLA backward via the accumulated tap-dot
+    equivalent."""
+    c_out = kerns[0].shape[3]
+    b = bias if bias is not None else jnp.zeros((c_out,), kerns[0].dtype)
+    a = alpha if alpha is not None else jnp.zeros((1,), kerns[0].dtype)
+    return _conv_cat_core(tuple(xs), tuple(kerns), b, a,
+                          bias is not None, alpha is not None)
+
+
 def down_chw_d(x: chw.ChwTensor, params: dict[str, Any], c_out: int, *,
                with_prelu: bool = False) -> chw.ChwTensor:
     if with_prelu:

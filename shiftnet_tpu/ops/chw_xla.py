@@ -66,6 +66,51 @@ def _tap_dot(src, taps, wl, cb, pad_lanes, lp, masked, gw, ws,
     return acc  # (co, t, lp) f32
 
 
+def conv_concat_chw_xla(xs: list[ChwTensor], kerns: list[jax.Array],
+                        bias: jax.Array | None,
+                        alpha: jax.Array | None) -> ChwTensor:
+    """jnp equivalent of ``chw.conv_concat_chw``: per-input tap-dots
+    accumulated in f32 BEFORE bias/PReLU/cast — the same op order as the
+    kernel (and as a conv over the materialized concat)."""
+    a = xs[0]
+    pf, cb, ws, gw, gh, padr = a.pf, a.cb, a.ws, a.gw, a.gh, a.padr
+    dtype = a.data.dtype
+    k = kerns[0].shape[0]
+    c_out = kerns[0].shape[3]
+    cb_out = cpad16(c_out)
+    masked = (ws == gw)
+    lp = a.data.shape[2]
+
+    wls = [conv_lhs(kj, dtype) for kj in kerns]
+    tbl = phase_taps(pf, pf, k, 1, k // 2)
+    halo = max(1, max(abs(cd) for tp in tbl.values() for _, cd, _ in tp))
+    assert padr >= halo, (padr, halo)
+    pad_lanes = halo * ws + halo
+    srcs = [jnp.pad(x.data, ((0, 0), (0, 0), (pad_lanes, pad_lanes)))
+            for x in xs]
+
+    lane_ok = jnp.asarray(_lane_ok_np(lp, ws, gw, gh, padr), jnp.float32)
+    blocks = []
+    for ai in range(pf):
+        for bi in range(pf):
+            o = None
+            for src, wl in zip(srcs, wls):
+                oj = _tap_dot(src, tbl[(ai, bi)], wl, cb, pad_lanes, lp,
+                              masked, gw, ws)
+                o = oj if o is None else o + oj
+            o = jnp.transpose(o, (1, 0, 2))
+            if bias is not None:
+                o = o + bias.astype(jnp.float32).reshape(1, c_out, 1)
+            if alpha is not None:
+                a_s = alpha.astype(jnp.float32).reshape(())
+                o = jnp.maximum(o, 0) + a_s * jnp.minimum(o, 0)
+            o = (o * lane_ok).astype(dtype)
+            o = jnp.pad(o, ((0, 0), (0, cb_out - c_out), (0, 0)))
+            blocks.append(o)
+    out = jnp.concatenate(blocks, axis=1)
+    return ChwTensor(out, a.h, a.w, padr, pf, c_out)
+
+
 def conv_chw_xla(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
                  alpha: jax.Array | None, *, stride: int = 1) -> ChwTensor:
     """jnp equivalent of ``chw.conv_chw`` (generic phase-packed conv)."""

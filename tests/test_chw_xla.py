@@ -117,3 +117,49 @@ def test_naf_cab_xla(pf, mid_ca, last_bias):
     xla2 = chw_xla.naf_cab_chw_xla(yc, hwc, naf2, groups=n // 8,
                                    mid_ca=mid_ca, use_last_bias=last_bias)
     assert _err(xla2.data, ker2.data) < 1e-5
+
+
+@pytest.mark.parametrize('n_in,pf,prelu', [(2, 4, False), (3, 2, True)])
+def test_conv_concat_xla(n_in, pf, prelu):
+    """Multi-input conv (``chw.conv_concat_chw``) == conv over the
+    materialized concat, for the kernel AND its XLA backward body, values
+    and gradients (the stage2 rconcat / Encoder2 conv_hr0 fusion —
+    ``models/gshift.py _forward_chw``)."""
+    t, h, w, c = 3, 16, 64, 24
+    rng = np.random.default_rng(0)
+    xs = [chw.from_nhwc(jnp.asarray(rng.standard_normal((t, h, w, c)),
+                                    jnp.float32), padr=4, pf=pf)
+          for _ in range(n_in)]
+    ks = [jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+          for _ in range(n_in)]
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    al = jnp.asarray([0.25], jnp.float32) if prelu else None
+
+    ref = chw.conv_chw(chw.concat_chw(xs), jnp.concatenate(ks, axis=2),
+                       b, al, interpret=True)
+    got = chw.conv_concat_chw(xs, ks, b, al, interpret=True)
+    gx = chw_xla.conv_concat_chw_xla(xs, ks, b, al)
+    assert got.c == ref.c and got.data.shape == ref.data.shape
+    assert _err(got.data, ref.data) < 1e-5
+    assert _err(gx.data, ref.data) < 1e-5
+
+    from shiftnet_tpu.ops import chw_grad
+
+    def loss_cat(xs_d, ks, b, al):
+        xs2 = [chw.ChwTensor(d, h, w, 4, pf, c) for d in xs_d]
+        o = chw_grad.conv_chw_d(chw.concat_chw(xs2),
+                                jnp.concatenate(ks, axis=2), b, al)
+        return jnp.sum(jnp.abs(o.data))
+
+    def loss_new(xs_d, ks, b, al):
+        xs2 = [chw.ChwTensor(d, h, w, 4, pf, c) for d in xs_d]
+        return jnp.sum(jnp.abs(
+            chw_grad.conv_concat_chw_d(xs2, ks, b, al).data))
+
+    args = ([x.data for x in xs], ks, b, al)
+    ga = jax.grad(loss_cat, argnums=(0, 1, 2))(*args)
+    gb = jax.grad(loss_new, argnums=(0, 1, 2))(*args)
+    scale = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(ga))
+    err = max(float(jnp.max(jnp.abs(a - b2))) for a, b2 in
+              zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+    assert err / scale < 1e-5, (err, scale)

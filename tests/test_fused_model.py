@@ -115,3 +115,44 @@ def test_fused_param_tree_identical(name):
     a = shapes(build_model(name, fused_chw=True))
     b = shapes(build_model(name))
     assert a == b
+
+
+def test_stage2_chunking_exact():
+    """The stage2 frame-chunk scan (``stage2_chunk``, models/gshift.py
+    ``_forward_chw``) must be EXACT vs the unchunked fused path — stage2
+    is per-frame, so chunking only regroups ops."""
+    kw = dict(**SMALL_KW, past_frames=2, future_frames=2)
+    x, _ = _inputs(CONFIGS['deblur_plus'], t=8)
+    whole = build_model('deblur_plus', fused_chw=True, stage2_chunk=0, **kw)
+    chunked = build_model('deblur_plus', fused_chw=True, stage2_chunk=2,
+                          **kw)
+    params = _scaled_random(
+        jax.jit(whole.init)(jax.random.PRNGKey(1), x)['params'], 7)
+
+    a = np.asarray(jax.jit(lambda p: whole.apply({'params': p}, x))(params))
+    b = np.asarray(jax.jit(lambda p: chunked.apply({'params': p}, x))(params))
+    assert a.shape == b.shape == (4, 16, 64, 3)
+    assert np.array_equal(a, b), np.max(np.abs(a - b))
+
+
+def test_stage2_chunking_grads_match():
+    """Gradients through the chunked stage2 (scan + dynamic_slice) must
+    match the unchunked fused path — single-chip training runs this."""
+    kw = dict(**SMALL_KW, past_frames=1, future_frames=1)
+    x, _ = _inputs(CONFIGS['deblur_plus'], t=6)
+    whole = build_model('deblur_plus', fused_chw=True, stage2_chunk=0, **kw)
+    chunked = build_model('deblur_plus', fused_chw=True, stage2_chunk=2,
+                          **kw)
+    params = _scaled_random(
+        jax.jit(whole.init)(jax.random.PRNGKey(2), x)['params'], 9)
+
+    def loss(model):
+        return jax.jit(jax.grad(
+            lambda p: jnp.mean(jnp.abs(model.apply({'params': p}, x)))))
+
+    ga = loss(whole)(params)
+    gb = loss(chunked)(params)
+    scale = max(float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(ga))
+    err = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)))
+    assert err / (scale + 1e-9) < 1e-5, (err, scale)

@@ -29,6 +29,7 @@ def main():
     from shiftnet_tpu.models import init_params
 
     bf16 = '--bf16' in sys.argv
+    f32_fused = '--f32-fused' in sys.argv  # packed kernels at f32 (probe)
     one_len = int(os.environ.get('SHIFTNET_BENCH_ONELEN', '12'))
     halo = 2
     # DAVIS 480p is 854 wide; the eval CLI mod-pads to the U-Net's factor
@@ -37,7 +38,8 @@ def main():
     t = one_len + 2 * halo
     sigma = 10.0 / 255.0
 
-    ev = Evaluator('denoise_plus', None, bf16=bf16,
+    overrides = {'fused_chw': True} if f32_fused else None
+    ev = Evaluator('denoise_plus', None, bf16=bf16, overrides=overrides,
                    result_path='/tmp/bench_results')
     video = jax.random.uniform(jax.random.PRNGKey(0), (t, h, w, 3), ev.dtype)
     ev.params = init_params(ev.model, video[: 2 * halo + 1, :64, :64],
@@ -74,7 +76,8 @@ def main():
         'metric': 'denoise_plus_480p_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/s',
-        'precision': 'bf16-fused' if bf16 else 'f32-unfused',
+        'precision': ('bf16-fused' if bf16
+                      else 'f32-fused' if f32_fused else 'f32-unfused'),
         'window': mode,
     }))
 
