@@ -42,7 +42,12 @@ def synth_ds(tmp_path_factory):
 
 
 def make_opt(exp_root: str, data_path: str, total_iter: int,
-             name: str) -> dict:
+             name: str, t_max: int | None = None) -> dict:
+    # ``t_max`` pins the cosine horizon independently of ``total_iter``:
+    # the resume test interrupts a run by shrinking total_iter, and without
+    # a pinned T_max the interrupted run would train its first steps under
+    # a different LR schedule than the uninterrupted one (cosine T=4 vs
+    # T=6) — the resumed params could never match bitwise.
     return {
         'name': name,
         'model': 'deblur_small',
@@ -59,7 +64,8 @@ def make_opt(exp_root: str, data_path: str, total_iter: int,
         'train': {
             'total_iter': total_iter,
             'optim_g': {'lr': 2e-4},
-            'scheduler': {'type': 'cosine', 'eta_min': 1e-7},
+            'scheduler': {'type': 'cosine', 'eta_min': 1e-7,
+                          **({'T_max': t_max} if t_max else {})},
             'grad_clip': 0.01,
         },
         'logger': {'print_freq': 100, 'save_checkpoint_freq': 1000},
@@ -86,20 +92,25 @@ def run_trainer(opt):
 @pytest.mark.slow
 def test_trainer_smoke_and_resume_reproduces(synth_ds, tmp_path):
     # Uninterrupted 6-iter run.
-    opt_a = make_opt(str(tmp_path / 'exp_a'), synth_ds, 6, 'smoke_a')
+    opt_a = make_opt(str(tmp_path / 'exp_a'), synth_ds, 6, 'smoke_a',
+                     t_max=6)
     tr_a, params_a, step_a = run_trainer(opt_a)
     assert step_a == 6
     assert os.path.exists(os.path.join(opt_a['path']['models'],
                                        'net_g_6.npz'))
 
     # Interrupted run: 4 iters, then a NEW Trainer instance auto-resumes
-    # from the orbax checkpoint and finishes to 6.
-    opt_b4 = make_opt(str(tmp_path / 'exp_b'), synth_ds, 4, 'smoke_b')
+    # from the orbax checkpoint and finishes to 6.  T_max is pinned to the
+    # full horizon in BOTH configs so the interrupt changes only where the
+    # run stops, not the LR schedule it trains under.
+    opt_b4 = make_opt(str(tmp_path / 'exp_b'), synth_ds, 4, 'smoke_b',
+                      t_max=6)
     tr_b, params_b4, step_b4 = run_trainer(opt_b4)
     assert step_b4 == 4
     assert tr_b.ckpt.latest_step() == 4
 
-    opt_b6 = make_opt(str(tmp_path / 'exp_b'), synth_ds, 6, 'smoke_b')
+    opt_b6 = make_opt(str(tmp_path / 'exp_b'), synth_ds, 6, 'smoke_b',
+                      t_max=6)
     tr_b2, params_b6, step_b6 = run_trainer(opt_b6)
     assert step_b6 == 6
     # The resumed loader must have fast-forwarded to global batch 4.
