@@ -49,11 +49,20 @@ class Evaluator:
                  save_images: bool = False, overrides: dict | None = None,
                  metrics: dict | None = None, tp: int = 1, tp_devices=None):
         if bf16 is None:
-            # Match the reference eval precisions: fp16 for deblur and
-            # denoise-small (``test_deblur.py:86``, ``test_denoise_small.py:85``)
-            # -> bf16 here; fp32 for denoise-big (``test_denoise.py:85`` — no
-            # ``.half()``), where the sigma=10 PSNR regime is most fragile.
-            bf16 = variant != 'denoise_plus'
+            # Precision protocol (decided on measured evidence, PERF.md
+            # round-4/5): deblur defaults to bf16 — measured bf16-vs-f32
+            # output drift 52.21 dB at full 720p scale, ~0.02 dB PSNR
+            # impact at the 35.88 dB GoPro target.  BOTH denoise variants
+            # default to f32: measured drift is 28.25 dB at sigma=10 —
+            # error energy at the ~40 dB PSNR regime.  The reference runs
+            # denoise_small in fp16 (``test_denoise_small.py:85``), but
+            # fp16's 11-bit significand is 8x finer than bf16's 8-bit in
+            # [0,1]; bf16 is NOT the same precision class, so f32 is the
+            # parity-safe TPU default (``--bf16``-equivalent opt-in stays
+            # via the constructor arg).  Deblur fp16 protocol
+            # (``test_deblur.py:86``) maps to bf16 safely per the drift
+            # measurement.
+            bf16 = not CONFIGS[variant].noise_map
         overrides = dict(overrides or {})
         # Packed-CHW fused inference path by default for bf16 eval (falls
         # back per-shape via ops/chw.py tfr_shapes_ok).  The f32 protocol
@@ -167,12 +176,11 @@ class Evaluator:
         tt, hh, ww, _ = x.shape
 
         def run(xt):
-            if self.cfg.noise_map:
+            if self.tp > 1:
+                o = self._run_tp(xt, sigma)
+            elif self.cfg.noise_map:
                 nm = jnp.full(xt.shape[:3] + (1,), sigma, self.dtype)
                 o = self._forward(xt.shape)(self.params, xt, nm)
-            elif self.tp > 1 and tt % self.tp == 0:
-                o = self._forward_tp(xt.shape)(self.params, xt)
-                o = o[self.halo:tt - self.halo]
             else:
                 o = self._forward(xt.shape)(self.params, xt)
             return np.asarray(o.astype(jnp.float32))
@@ -186,17 +194,42 @@ class Evaluator:
             return out
         return run(jnp.asarray(x, self.dtype))
 
-    def _forward_tp(self, shape: tuple) -> Any:
+    def _run_tp(self, xt, sigma: float | None):
+        """Sequence-parallel window forward (both tasks).  The window's T
+        frames shard over the tp mesh; when T doesn't divide tp the tail is
+        padded by replicating the last frame (logged, never silent — the pad
+        frames only ever serve as clamp-replicate context, the same edge
+        semantics the boundary shards already use) and the pad outputs are
+        dropped."""
+        tt = xt.shape[0]
+        pad = -tt % self.tp
+        if pad:
+            self.logger.write(
+                f'[tp] window T={tt} % tp={self.tp} != 0: replicating the '
+                f'last frame x{pad} (outputs for pad frames are dropped)')
+            xt = jnp.concatenate([xt, jnp.repeat(xt[-1:], pad, axis=0)], 0)
+        if self.cfg.noise_map:
+            nm = jnp.full(xt.shape[:3] + (1,), sigma, self.dtype)
+            o = self._forward_tp(xt.shape, with_nm=True)(self.params, xt, nm)
+        else:
+            o = self._forward_tp(xt.shape)(self.params, xt)
+        return o[self.halo:tt - self.halo]
+
+    def _forward_tp(self, shape: tuple, *, with_nm: bool = False) -> Any:
         """Frame-axis-sharded forward over the tp mesh: the window's T frames
         are split over ``tp`` devices with ppermute'd 2-frame halos
         (``parallel/temporal.py``); returns ALL T frames (the outer caller
         drops the global-edge halo frames)."""
-        key = ('tp', shape)
+        key = ('tp', shape, with_nm)
         if key not in self._jit_cache:
             from shiftnet_tpu.parallel.temporal import temporal_parallel_forward
 
-            def apply_fn(params, clip):
-                return self.model.apply({'params': params}, clip)
+            if with_nm:
+                def apply_fn(params, clip, nm):
+                    return self.model.apply({'params': params}, clip, nm)
+            else:
+                def apply_fn(params, clip):
+                    return self.model.apply({'params': params}, clip)
 
             fn = temporal_parallel_forward(apply_fn, self._tp_mesh,
                                            halo=self.halo)

@@ -184,7 +184,12 @@ class Encoder2(nn.Module):
             e22 = chw.to_nhwc(enc22) if chw_in else enc22
             y = DownSample(nf, with_prelu=cfg.downsample_prelu,
                            dtype=self.dtype, name='down23')(e22)
-            if chw_in:
+            # SHIFTNET_L3_NHWC=1 restores the round-3 layout (L3 island on
+            # NHWC + padr=4 decoder grids) — memory/perf A-B calibration
+            # only (tools/probe_envelope.py).
+            import os
+            l3_nhwc = bool(os.environ.get('SHIFTNET_L3_NHWC'))
+            if chw_in and not l3_nhwc:
                 # Level 3 (H/8) is below the shared quarter grid, so it
                 # gets its OWN packed grid (pf=1): the L3 CABs and shift
                 # blocks were ~9% of the fused 720p forward on the XLA
@@ -202,11 +207,12 @@ class Encoder2(nn.Module):
             skip2 = CAB(nf, name='skip_attn2', **cab_kw)(enc22)
             if chw_in:
                 y = SkipUpSample(nf, dtype=self.dtype, name='up32')(
-                    chw.to_nhwc(dec33), chw.to_nhwc(skip2))
+                    dec33 if l3_nhwc else chw.to_nhwc(dec33),
+                    chw.to_nhwc(skip2))
                 # padr=8 >= the flat layout's max shift (8 cells) so the
                 # decoder_level2 blocks take the Pallas shift-round kernel
                 # (shift_round_eligible); +4 pad rows is ~2% HBM at H/8.
-                y = chw.from_nhwc(y, padr=8, pf=1)
+                y = chw.from_nhwc(y, padr=4 if l3_nhwc else 8, pf=1)
             else:
                 y = SkipUpSample(nf, dtype=self.dtype, name='up32')(dec33,
                                                                     skip2)

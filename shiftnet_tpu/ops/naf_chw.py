@@ -208,7 +208,13 @@ def shift_round_eligible(x: ChwTensor, add_c: int) -> bool:
     """Whether the Pallas shift-round kernel supports this layout: the
     half-channel / extra-channel DMA row offsets must be 8-aligned
     (verified legal by tools/probe_dma_align.py; odd offsets are not), and
-    the hw slab halo (8//pf cells) must fit inside the zero pad rows."""
+    the hw slab halo (8//pf cells) must fit inside the zero pad rows.
+
+    ``SHIFTNET_NO_SHIFT_KERNEL=1`` force-disables the kernel (memory/perf
+    A-B calibration only — tools/probe_envelope.py)."""
+    import os
+    if os.environ.get('SHIFTNET_NO_SHIFT_KERNEL'):
+        return False
     if 8 % x.pf:
         return False
     s = 8 // x.pf

@@ -20,7 +20,11 @@ def main():
     ap.add_argument('--data_path', required=True)
     ap.add_argument('--result_path', default='infer_results')
     ap.add_argument('--sigma', type=float, default=10.0)
-    ap.add_argument('--fp32', action='store_true')
+    ap.add_argument('--fp32', action='store_true',
+                    help='(now the denoise default) force f32 eval')
+    ap.add_argument('--bf16', action='store_true',
+                    help='opt into bf16 eval (measured 28 dB output drift '
+                         'at sigma=10 — NOT parity-safe; see PERF.md)')
     ap.add_argument('--quadrant', action='store_true',
                     help="force the reference's fixed 4-quadrant tiling "
                          '(test_denoise.py:153-173); default is the '
@@ -47,8 +51,9 @@ def main():
 
     params = load_params(args.variant, args.model_path, halo=2)
     metrics = parse_metric_args(args.metric)
+    assert not (args.fp32 and args.bf16), '--fp32 and --bf16 conflict'
     ev = Evaluator(args.variant, params, result_path=args.result_path,
-                   bf16=False if args.fp32 else None,
+                   bf16=True if args.bf16 else (False if args.fp32 else None),
                    save_images=args.save_image, metrics=metrics, tp=args.tp)
     from shiftnet_tpu.utils.profiling import trace
     with trace(args.profile):

@@ -81,3 +81,21 @@ def test_half_tiles_stitch_identity():
         tile = img[:, in_sl[0], in_sl[1]]
         out[:, out_sl[0], out_sl[1]] = tile[:, crop_sl[0], crop_sl[1]]
     np.testing.assert_array_equal(out, img)
+
+
+def test_evaluator_precision_protocol_defaults(tmp_path):
+    """Precision protocol (PERF.md round-5): deblur defaults to bf16
+    (measured 52 dB drift, ~0.02 dB PSNR impact); BOTH denoise variants
+    default to f32 — bf16's 8-bit significand drifts 28 dB at sigma=10,
+    parity-breaking at the ~40 dB DAVIS targets (the reference's fp16 has
+    11 bits and is NOT the same precision class as bf16)."""
+    import jax.numpy as jnp
+    from shiftnet_tpu.eval.runner import Evaluator
+    for variant, want in [('deblur_plus', jnp.bfloat16),
+                          ('deblur_small', jnp.bfloat16),
+                          ('denoise_plus', jnp.float32),
+                          ('denoise_small', jnp.float32)]:
+        ev = Evaluator(variant, None, result_path=str(tmp_path))
+        assert ev.dtype == want, variant
+        # fused packed-CHW inference rides the bf16 default only
+        assert ev.cfg.fused_chw == (want == jnp.bfloat16), variant

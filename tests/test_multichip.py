@@ -181,6 +181,60 @@ def test_evaluator_tp_forward_window_matches_windowed():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_evaluator_tp_forward_window_denoise_and_pad():
+    """`--tp` works for denoise (noise-map branch routes through the
+    t-sharded forward) and a window with T % tp != 0 is handled by a logged
+    replicate-pad, never silently unsharded.  Equivalence target: windowed
+    inference with window = ceil(T/tp) clamp-padded windows and a constant
+    noise map."""
+    from shiftnet_tpu.eval.runner import Evaluator
+
+    n_dev, halo, local_t = 4, 1, 2
+    tt = n_dev * local_t
+    p = 16
+    sigma = 10.0 / 255.0
+    with jax.default_device(CPU0):
+        model = build_model('denoise_small', past_frames=halo,
+                            future_frames=halo, **TINY)
+        x0 = jnp.zeros((local_t + 2 * halo, p, p, 3))
+        nm0 = jnp.zeros((local_t + 2 * halo, p, p, 1))
+        params = init_params(model, x0, nm0)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (tt, p, p, 3)), jnp.float32)
+
+        def apply_fn(prm, clip):
+            nm = jnp.full(clip.shape[:3] + (1,), sigma, clip.dtype)
+            return model.apply({'params': prm}, clip, nm)
+
+        def pad_window(k):
+            lo, hi = k * local_t - halo, (k + 1) * local_t + halo
+            idx = np.clip(np.arange(lo, hi), 0, tt - 1)
+            return x[idx]
+
+        want_all = jnp.concatenate(
+            [apply_fn(params, pad_window(k)) for k in range(n_dev)], axis=0)
+        want = np.asarray(want_all)[halo:tt - halo]
+
+    ev = Evaluator('denoise_small', params, halo=halo, bf16=False,
+                   overrides=TINY, tp=n_dev, tp_devices=cpu_devices(n_dev),
+                   result_path='/tmp/tp_eval_test_dn')
+    got = ev.forward_window(x, sigma)
+    assert got.shape == (tt - 2 * halo, p, p, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # T % tp != 0: drop one frame -> the evaluator replicate-pads (logged)
+    # and still returns the full interior.  The last interior frame's right
+    # context becomes clamp-replicated (edge-halo semantics), so compare
+    # only the frames whose windows are unchanged.
+    tt2 = tt - 1
+    got2 = ev.forward_window(x[:tt2], sigma)
+    assert got2.shape == (tt2 - 2 * halo, p, p, 3)
+    log = open(ev.logger.path).read()
+    assert '[tp] window T=7' in log
+    np.testing.assert_allclose(got2[:local_t - halo], want[:local_t - halo],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_temporal_parallel_matches_windowed():
     """T-sharded forward == per-window forward with the same halos."""
     from shiftnet_tpu.parallel.temporal import temporal_parallel_forward
