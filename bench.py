@@ -13,6 +13,7 @@ benchmark also measures the model forward only).
 """
 import json
 import os
+import sys
 import time
 
 import jax
@@ -46,21 +47,44 @@ def main():
     ev.params = init_params(ev.model, video[: 2 * halo + 1, :64, :64],
                             seed=1)
 
-    # The Evaluator's window plan: full frame when the packed path's HBM
-    # envelope allows, else its half-height tiling.
-    if t * h * w > ev.px_envelope:
-        tiles = [jnp.asarray(video[:, in_sl[0], in_sl[1]])
-                 for in_sl, _, _ in half_slices(h, w)]
-    else:
-        tiles = [video]
+    # The Evaluator's window plan (eval/budget.py): XLA's compile-time
+    # memory analysis decides full-frame vs half-height tiles against the
+    # HBM budget — no hand px constant (the round-4 bench OOM).  A runtime
+    # RESOURCE_EXHAUSTED at warmup is the last-resort fallback to tiles.
+    from shiftnet_tpu.eval.budget import hbm_budget
+
+    def half_tiles():
+        return [jnp.asarray(video[:, in_sl[0], in_sl[1]])
+                for in_sl, _, _ in half_slices(h, w)]
+
+    use_full = t * h * w <= ev.px_envelope * 1.5
+    if use_full and ev._memory_gate:
+        prog = ev._window_program_bytes((t, h, w, 3))
+        use_full = prog <= hbm_budget()
+        print(f'# full-window program {prog / 1e9:.2f} GB, budget '
+              f'{hbm_budget() / 1e9:.2f} GB -> '
+              f'{"full" if use_full else "half tiles"}',
+              file=sys.stderr, flush=True)
+    tiles = [video] if use_full else half_tiles()
     fwd = ev._forward((t,) + tiles[0].shape[1:])
 
     # Compile + warmup; then DRAIN via a data fetch: on this backend
     # block_until_ready can return before execution finishes, so only an
     # actual device->host transfer is a reliable fence.
-    for tile in tiles:
-        out = fwd(ev.params, tile)
-    float(jnp.sum(out.astype(jnp.float32)))
+    try:
+        for tile in tiles:
+            out = fwd(ev.params, tile)
+        float(jnp.sum(out.astype(jnp.float32)))
+    except Exception as e:
+        if 'RESOURCE_EXHAUSTED' not in str(e) or len(tiles) > 1:
+            raise
+        print('# runtime OOM at full window -> half-height tiles',
+              file=sys.stderr, flush=True)
+        tiles = half_tiles()
+        fwd = ev._forward((t,) + tiles[0].shape[1:])
+        for tile in tiles:
+            out = fwd(ev.params, tile)
+        float(jnp.sum(out.astype(jnp.float32)))
 
     iters = 5
     t0 = time.perf_counter()

@@ -87,28 +87,20 @@ class Evaluator:
         # (skimage PSNR + scipy-gaussian SSIM, ``test_deblur.py:25-49``).
         self.metrics = dict(metrics) if metrics else {
             'psnr': {'type': 'psnr'}, 'ssim': {'type': 'ssim'}}
-        # Single-chip HBM envelope (input pixels per window) above which a
-        # window is split into half-height tiles.  Packed-CHW path:
-        # calibrated on deblur_plus (a full 720p x 44-frame window, ~48.6M
-        # input px, fits 16 GB; bench.py measures T=40); the live-activation
-        # footprint scales roughly with the model widths (nf0 at full res +
-        # nf2 at half res), so small variants get a proportionally larger
-        # envelope.  NHWC/XLA path: activations are 128-lane padded
-        # regardless of width (round-2 calibration); f32 doubles bytes.
-        if cfg.fused_chw:
-            # Verified fit: 720p x 40 frames (36.9M px) compiles and runs in
-            # 15.75G usable HBM; 720p x 48 does NOT (18.12G program
-            # requirement — only 9.79G of it live data, the rest buffer-
-            # assignment fragmentation of the ~3.3G full-T packed tensors
-            # that stage2 consumes).  37M keeps a hair of slack over the
-            # verified point.
-            self.px_envelope = int(
-                37_000_000 * (24 + 80) / (cfg.n_feats0 + cfg.n_feats2))
-            if dtype == jnp.float32:  # f32 doubles every activation byte
-                self.px_envelope //= 2
-        else:
-            self.px_envelope = (22_000_000 if dtype == jnp.bfloat16
-                                else 11_000_000)
+        # Single-chip HBM budgeting (eval/budget.py — replaces the round-4
+        # hand constant that OOM'd the bench when the layout changed): the
+        # full-vs-tiled window decision is made by XLA's own compile-time
+        # memory analysis against ``hbm_budget()`` whenever the TPU is the
+        # default backend; ``px_envelope`` is only the analytic pre-filter
+        # that avoids compiling hopeless shapes (and the sole decider on
+        # CPU runs).  A runtime RESOURCE_EXHAUSTED catch in
+        # ``forward_window`` is the last-resort fallback.
+        from shiftnet_tpu.eval.budget import (memory_gate_available,
+                                              px_prefilter)
+        self.px_envelope = px_prefilter(
+            cfg.n_feats0, cfg.n_feats2, f32=dtype == jnp.float32,
+            fused=cfg.fused_chw)
+        self._memory_gate = memory_gate_available()
         # Temporal (sequence) parallelism: tp > 1 shards each window's frame
         # axis over a ('time',) mesh (parallel/temporal.py, ppermute halo
         # exchange).  Edge-halo caveat: interior shard boundaries see exactly
@@ -185,14 +177,68 @@ class Evaluator:
                 o = self._forward(xt.shape)(self.params, xt)
             return np.asarray(o.astype(jnp.float32))
 
-        if tt * hh * ww > self.px_envelope:
-            out = np.zeros((tt - 2 * self.halo, hh, ww, 3), np.float32)
-            for in_sl, crop_sl, out_sl in half_slices(hh, ww):
-                xt = jnp.asarray(x[:, in_sl[0], in_sl[1]])
-                o = run(xt)
-                out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
-            return out
-        return run(jnp.asarray(x, self.dtype))
+        # Window plan, strongest signal first (eval/budget.py):
+        # 1. analytic pre-filter (px_envelope; 1.5x slop when the compile-
+        #    time gate will make the real decision),
+        # 2. XLA memory analysis of the AOT-compiled full window vs budget,
+        # 3. runtime RESOURCE_EXHAUSTED -> shrink the envelope, tile.
+        px = tt * hh * ww
+        gate = self._memory_gate and self.tp == 1
+        want_full = px <= int(self.px_envelope * (1.5 if gate else 1.0))
+        if want_full and gate:
+            from shiftnet_tpu.eval.budget import hbm_budget
+            total = self._window_program_bytes(x.shape)
+            if total > hbm_budget():
+                self.logger.write(
+                    f'[budget] full window {x.shape}: program '
+                    f'{total / 1e9:.2f} GB > budget '
+                    f'{hbm_budget() / 1e9:.2f} GB -> half-height tiles')
+                want_full = False
+        if want_full:
+            try:
+                return run(jnp.asarray(x, self.dtype))
+            except Exception as e:  # runtime OOM only; re-raise the rest
+                if 'RESOURCE_EXHAUSTED' not in str(e):
+                    raise
+                self.px_envelope = min(self.px_envelope, px - 1)
+                self.logger.write(
+                    f'[budget] runtime OOM at full window {x.shape} -> '
+                    'falling back to half-height tiles '
+                    f'(envelope shrunk to {self.px_envelope} px)')
+
+        out = np.zeros((tt - 2 * self.halo, hh, ww, 3), np.float32)
+        for in_sl, crop_sl, out_sl in half_slices(hh, ww):
+            xt = jnp.asarray(x[:, in_sl[0], in_sl[1]], self.dtype)
+            o = run(xt)
+            out[:, out_sl[0], out_sl[1]] = o[:, crop_sl[0], crop_sl[1]]
+        return out
+
+    def _window_program_bytes(self, shape: tuple) -> int:
+        """AOT-compile the full-window forward and return XLA's program
+        requirement (temp + args + out — buffer assignment's own view,
+        fragmentation included).  The compiled executable replaces the jit
+        entry for this shape so the subsequent run dispatches it directly
+        (no second compile)."""
+        key = ('prog_bytes', shape)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        from shiftnet_tpu.eval.budget import compiled_total_bytes
+        fn = self._forward(shape)
+
+        def sds(a):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        pspec = jax.tree.map(sds, self.params)
+        xspec = jax.ShapeDtypeStruct(shape, self.dtype)
+        if self.cfg.noise_map:
+            nmspec = jax.ShapeDtypeStruct(shape[:3] + (1,), self.dtype)
+            compiled = fn.lower(pspec, xspec, nmspec).compile()
+        else:
+            compiled = fn.lower(pspec, xspec).compile()
+        total = compiled_total_bytes(compiled)
+        self._jit_cache[shape] = compiled
+        self._jit_cache[key] = total
+        return total
 
     def _run_tp(self, xt, sigma: float | None):
         """Sequence-parallel window forward (both tasks).  The window's T

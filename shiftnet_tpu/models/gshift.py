@@ -56,10 +56,21 @@ class GShiftNetConfig:
     future_frames: int = 1          # num_ff
     fused_tfr: bool = False         # packed-CHW Pallas TFR U-Nets (inference)
     fused_chw: bool = False         # whole-network packed-CHW path (infer.)
-    stage2_chunk: int = 12          # fused path: stage2 is strictly
-    # per-frame, so it runs as a lax.scan over frame chunks of (at most)
-    # this many frames — its concat/orb temporaries then scale with the
-    # chunk, not the window (at T=52 720p they were ~15 GB).  0 disables.
+    stage2_chunk: int = 0           # fused path: stage2 is strictly
+    # per-frame, so it CAN run as a lax.scan over frame chunks of this
+    # many frames — its concat/orb temporaries then scale with the chunk,
+    # not the window.  Default OFF: at bench scale (T<=40 720p) chunking
+    # MEASURED +2.7 GB program requirement (probe_envelope r5: the full-T
+    # x0/feats/dec inputs stay live through the whole scan, while
+    # unchunked they die at the stage2 entry conv).  Opt in only for
+    # windows past the single-window envelope (T>=48 720p).
+    conv_concat: bool = False       # fused path: fold concat+conv into one
+    # multi-input Pallas kernel (chw.conv_concat_chw).  Default OFF:
+    # measured +4.7 GB program requirement at T=40 720p vs the plain
+    # concat_chw + conv (probe_envelope r5 A-B — buffer assignment keeps
+    # every kernel operand AND the un-aliasable pallas output live, where
+    # XLA frees the concat inputs at the concat).  The kernel remains for
+    # long-window configs where the 3*nf0 concat itself dominates.
     time_axis: str | None = None    # mesh axis name when the frame axis is
     # shard_map-sharded (exact sequence parallelism: per-round one-frame
     # ppermute halo exchange inside the temporal shifts; see ops/shift.py).
@@ -241,9 +252,14 @@ class Encoder2(nn.Module):
                 # + slice temp were the largest HLO temps of the whole
                 # forward, and XLA can't fuse adds of separate
                 # pallas_call outputs either.
-                out = chw_grad.conv_concat_chw_d(
-                    [up, skip], [kc[:, :, :nf0], kc[:, :, nf0:]],
-                    jnp.asarray(p['bias'], self.dtype), None)
+                if cfg.conv_concat:
+                    out = chw_grad.conv_concat_chw_d(
+                        [up, skip], [kc[:, :, :nf0], kc[:, :, nf0:]],
+                        jnp.asarray(p['bias'], self.dtype), None)
+                else:
+                    out = chw_grad.conv_chw_d(
+                        chw.concat_chw([up, skip]), kc,
+                        jnp.asarray(p['bias'], self.dtype), None)
             else:
                 z = jnp.zeros((1, 1, 1, nf0), self.dtype)
                 PReLU(dtype=self.dtype, name='act')(z)
@@ -430,15 +446,19 @@ class GShiftNet(nn.Module):
         kl, _ = conv_params('conv_last', nf0, cfg.conv_last_ks, False)
 
         def stage2(x0c, featsc, decc, rorb):
-            # conv(concat(a, b, c)) as one multi-input kernel (conv is
-            # linear in its input channels): the 3*nf0-channel packed
-            # concat never materializes — its output + slice/pad
-            # temporaries were the largest stage2 HLO temps at long
-            # windows (chw.conv_concat_chw).
-            z = chw_grad.conv_concat_chw_d(
-                [x0c, featsc, decc],
-                [k[:, :, :nf0], k[:, :, nf0:2 * nf0], k[:, :, 2 * nf0:]],
-                b, alpha)
+            # conv(concat(a, b, c)): with cfg.conv_concat, one multi-input
+            # kernel (the 3*nf0 packed concat never materializes — matters
+            # only at very long windows); default is the plain concat +
+            # conv, which buffer-assigns 4.7 GB smaller at T=40 720p
+            # (see GShiftNetConfig.conv_concat).
+            if cfg.conv_concat:
+                z = chw_grad.conv_concat_chw_d(
+                    [x0c, featsc, decc],
+                    [k[:, :, :nf0], k[:, :, nf0:2 * nf0], k[:, :, 2 * nf0:]],
+                    b, alpha)
+            else:
+                z = chw_grad.conv_chw_d(
+                    chw.concat_chw([x0c, featsc, decc]), k, b, alpha)
             shortcut2 = z
             z = rorb(z)
             if cfg.stage_residual:
