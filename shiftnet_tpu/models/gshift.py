@@ -73,9 +73,11 @@ class GShiftNetConfig:
     # long-window configs where the 3*nf0 concat itself dominates.
     time_axis: str | None = None    # mesh axis name when the frame axis is
     # shard_map-sharded (exact sequence parallelism: per-round one-frame
-    # ppermute halo exchange inside the temporal shifts; see ops/shift.py).
+    # ppermute halo exchange inside the temporal shifts; see ops/shift.py
+    # and ops/naf_chw.temporal_shift_chw(axis=...) for the packed path).
     # Requires past_frames = future_frames = 0 (mask the loss instead of
-    # slicing the globally-indexed center frames) and the unfused path.
+    # slicing the globally-indexed center frames).  Works with both the
+    # unfused and the fused (packed-CHW Pallas) forward.
 
     @property
     def noise_map(self) -> bool:
@@ -316,8 +318,11 @@ class GShiftNet(nn.Module):
                 'mask the loss over center frames instead')
 
         from shiftnet_tpu.ops import chw
-        if (cfg.fused_chw and cfg.time_axis is None
-                and chw.tfr_shapes_ok(x.shape[1], x.shape[2])):
+        if cfg.fused_chw and chw.tfr_shapes_ok(x.shape[1], x.shape[2]):
+            # Works under a sharded frame axis too (time_axis set inside a
+            # shard_map): every packed kernel is frame-local except the
+            # temporal shifts, which route through the ppermute variant
+            # (ops/naf_chw.temporal_shift_chw(axis=...)).
             return self._forward_chw(inp, shortcut, center, tfr_kw)
 
         x0 = Conv2d(nf0, 3, use_bias=True, dtype=self.dtype,

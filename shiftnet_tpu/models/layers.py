@@ -292,9 +292,6 @@ class ShiftCAB(nn.Module):
     def __call__(self, x):
         from shiftnet_tpu.ops import chw, naf_chw
         if isinstance(x, chw.ChwTensor):
-            assert self.time_axis is None, (
-                'packed-CHW ShiftCAB does not support a sharded frame axis; '
-                'build the model with fused_chw=False for time parallelism')
             assert self.kernel_size == 3 and not self.use_bias
             z = jnp.zeros((1, 1, 1, x.c), self.dtype)
             r = Conv2d(self.n_feat, self.kernel_size,
@@ -308,7 +305,8 @@ class ShiftCAB(nn.Module):
                     dtype=self.dtype, name='CA')(r)
             params = cast_tree(self.variables['params'], self.dtype)
             y = naf_chw.temporal_shift_chw(x, reverse=self.reverse,
-                                           boundary_patch=True)
+                                           boundary_patch=True,
+                                           axis=self.time_axis)
             from shiftnet_tpu.ops import chw_grad
             return chw_grad.cab_chw_d(y, params, self.reduction)
         x = temporal_channel_shift(x, reverse=self.reverse, boundary_patch=True,
@@ -590,10 +588,6 @@ class EncoderShiftBlock(nn.Module):
         number = self.n_feat // 2 // 8
         add_c = 8 * number
         if isinstance(x, chw.ChwTensor):
-            assert self.time_axis is None, (
-                'packed-CHW shift blocks do not support a sharded frame '
-                'axis; build the model with fused_chw=False for time '
-                'parallelism')
             # packed-CHW fused path: declare the identical param tree via
             # dummy XLA-module calls, then run the naf_chw kernels.
             n = self.n_feat
@@ -624,7 +618,8 @@ class EncoderShiftBlock(nn.Module):
                 cab_params, x, rounds=self.rounds,
                 boundary_patch=self.boundary_patch, mid_ca=self.mid_ca,
                 last_bias=self.last_bias,
-                repconv_depthwise=self.repconv_depthwise)
+                repconv_depthwise=self.repconv_depthwise,
+                axis=self.time_axis)
         kw = dict(kernel_size=5, reduction=self.reduction,
                   use_bias=self.use_bias, mid_ca=self.mid_ca,
                   last_bias=self.last_bias,

@@ -47,6 +47,17 @@ LANE = 128
 TAIL = 128  # trailing slack lanes so last-row conv taps never read OOB
 
 
+
+def mosaic_params():
+    """Per-kernel Mosaic scoped-VMEM limit (None = Mosaic's ~16 MB
+    default).  See ops/naf_chw._mosaic_params; env SHIFTNET_VMEM_LIMIT_MB."""
+    import os
+    mb = float(os.environ.get('SHIFTNET_VMEM_LIMIT_MB', '0'))
+    if mb <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb * 1024 * 1024))
+
+
 def row_stride(w: int) -> int:
     """Lane-aligned row stride: W itself when aligned, else W+>=2 slack."""
     if w % LANE == 0:
@@ -461,6 +472,7 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, w1, alpha, w2)
 
     ca = ca_mlp(sums[:, :, 0, :c], h * w, params['CA'], dtype)  # (T, C)
@@ -490,6 +502,7 @@ def cab_chw(x: ChwTensor, params: dict[str, Any], *,
         # in HBM whenever x is dead afterwards — XLA copies otherwise).
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, s, ca_b.reshape(t, cb, 1))
     return ChwTensor(out, h, w, padr, 1, c)
 
@@ -761,6 +774,7 @@ def _run_back(x: ChwTensor, s: jax.Array, ca: jax.Array,
         # in-place over the shortcut (read-before-write per tile).
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, s, _expand_ca(ca, x.pf, x.c, x.cb).astype(dtype))
     return ChwTensor(out, x.h, x.w, padr, x.pf, x.c)
 
@@ -813,6 +827,7 @@ def _cab_chw_s2d(x: ChwTensor, params: dict[str, Any],
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, w1, alpha, w2)
 
     ca = ca_mlp(sums[:, :, 0, :c], x.h * x.w, params['CA'], dtype)
@@ -1001,6 +1016,7 @@ def conv_concat_chw(xs: list[ChwTensor], kerns: list[jax.Array],
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(*[x.data for x in xs], wlhs, bias_a, alpha_a)
     return ChwTensor(out, a.h, a.w, padr, pf, c_out)
 
@@ -1072,6 +1088,7 @@ def conv_chw(x: ChwTensor, kern: jax.Array, bias: jax.Array | None,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, wlhs, bias_a, alpha_a)
     return ChwTensor(out, x.h // stride, x.w // stride, padr, pf_out, c_out)
 
@@ -1313,6 +1330,7 @@ def up_skip_chw(x: ChwTensor, params: dict[str, Any], skip: ChwTensor, *,
         # same tile is written, so the skip buffer is reused in place.
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=mosaic_params(),
     )(x.data, skip.data, w11)
     return ChwTensor(out, skip.h, skip.w, padr, pf_out, c_out)
 

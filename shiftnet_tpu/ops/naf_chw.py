@@ -47,13 +47,36 @@ from shiftnet_tpu.ops.shift import shift_dir_table
 # ---------------------------------------------------------------------------
 
 
+def _mosaic_params():
+    """Per-kernel Mosaic scoped-VMEM limit (None = Mosaic's default, ~16
+    MB).  The v5e has far more physical VMEM (128 MiB) than the default
+    scoped limit; raising it lets the row-tile pickers choose larger
+    tiles (less halo recompute).  XLA_FLAGS can't carry TPU flags here
+    (the local flag parser predates the remote TPU plugin), so the limit
+    rides pallas_call compiler_params instead.  Env:
+    SHIFTNET_VMEM_LIMIT_MB (0/unset = default)."""
+    import os
+    mb = float(os.environ.get('SHIFTNET_VMEM_LIMIT_MB', '0'))
+    if mb <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb * 1024 * 1024))
+
+
 def temporal_shift_chw(x: ChwTensor, *, reverse: bool = False,
-                       boundary_patch: bool = True) -> ChwTensor:
+                       boundary_patch: bool = True,
+                       axis: str | None = None) -> ChwTensor:
     """Temporal half-channel shift (``gshift_deblur1.py:504-519``) on the
     flat layout: a channel-block concat across frames.  The boundary patch
     is a fused per-frame SELECT (not another whole-tensor concat — that
     cost a full extra HBM round trip, measured 7.7 -> ~2 ms/round at the
-    720p L1 shape)."""
+    720p L1 shape).
+
+    ``axis``: mesh axis name when the frame axis is ``shard_map``-sharded
+    (sequence-parallel training on the packed layout): the one-frame
+    cross-shard movement is a ``ppermute`` of one edge frame's
+    half-channel block — exact, mirroring ``ops/shift.py
+    _temporal_channel_shift_sharded``; differentiable (ppermute transpose).
+    """
     n = x.c
     cb = x.cb
     pp = x.pf * x.pf
@@ -61,6 +84,29 @@ def temporal_shift_chw(x: ChwTensor, *, reverse: bool = False,
     d = x.data.reshape(t, pp, cb, -1)
     lo, hi = d[:, :, : n // 2], d[:, :, n // 2: n]
     pad = d[:, :, n:]
+    if axis is not None:
+        nsh = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        if not reverse:
+            # y[t] = [hi[t-1], lo[t], pad]; local frame 0 needs the LEFT
+            # neighbor's last frame (circular wrap == jnp.roll).
+            recv = jax.lax.ppermute(
+                hi[-1:], axis, [(i, (i + 1) % nsh) for i in range(nsh)])
+            y = jnp.concatenate(
+                [jnp.concatenate([recv, hi[:-1]], axis=0), lo, pad], axis=2)
+            if boundary_patch:
+                first = jnp.where(idx == 0, d[:1], y[:1])
+                y = jnp.concatenate([first, y[1:]], axis=0)
+        else:
+            recv = jax.lax.ppermute(
+                lo[:1], axis, [(i, (i - 1) % nsh) for i in range(nsh)])
+            y = jnp.concatenate(
+                [hi, jnp.concatenate([lo[1:], recv], axis=0), pad], axis=2)
+            if boundary_patch:
+                last = jnp.where(idx == nsh - 1, d[-1:], y[-1:])
+                y = jnp.concatenate([y[:-1], last], axis=0)
+        return ChwTensor(y.reshape(x.data.shape), x.h, x.w, x.padr, x.pf,
+                         x.c)
     if not reverse:
         y = jnp.concatenate([jnp.roll(hi, 1, axis=0), lo, pad], axis=2)
         patch_frame = 0
@@ -483,6 +529,7 @@ def shift_round_chw(x: ChwTensor, add_c: int, number: int, *,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
+        compiler_params=_mosaic_params(),
     )(x.data)
     return (ChwTensor(y, x.h, x.w, padr, pf, n),
             ChwTensor(hw, x.h, x.w, padr, pf, add_c))
@@ -1219,6 +1266,7 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
+        compiler_params=_mosaic_params(),
     )(y.data, hw_data, wts['wa'], wts.get('wb', jnp.zeros((2, nr, hcb),
                                                           dtype)),
       wts['c1'], wts['c2'], wts['dw0'],
@@ -1277,6 +1325,7 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
             jax.ShapeDtypeStruct((t, n_tiles_r, 8, npad), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_mosaic_params(),
     )(phr_tbl, offr_tbl, g, cag_full, wts['rep'], wts['w4'])
 
     if stage == 'rep':
@@ -1322,6 +1371,7 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
         # allocation per shift round (XLA inserts a copy if y is live).
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=_mosaic_params(),
     )(y.data, s, ca_full, wts['w7'], wts['beta'], b7)
     return ChwTensor(out, y.h, y.w, padr, pf, n)
 
@@ -1329,11 +1379,18 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
 def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
                             boundary_patch: bool, mid_ca: bool,
                             last_bias: bool, repconv_depthwise: bool,
+                            axis: str | None = None,
                             interpret: bool | None = None) -> ChwTensor:
     """``Encoder_shift_block`` (``gshift_deblur1.py:440-547``) on the packed
     layout: ``rounds`` x [temporal shift -> grouped spatial shift -> CAB2 ->
     CAB1], alternating direction.  ``cab_params``: [(cab2_naf, cab1_naf)]
-    per round from ``naf_params_from_tree``."""
+    per round from ``naf_params_from_tree``.
+
+    ``axis``: sequence-parallel mode (frame axis ``shard_map``-sharded over
+    a mesh axis).  The round's shift runs as the sharded XLA pair
+    (``temporal_shift_chw(axis=...)`` ppermute + local ``gsts_hw_chw``)
+    instead of the fused Pallas shift kernel — the CAB kernels themselves
+    are frame-local and run unchanged on the shard."""
     n = x.c
     number = n // 2 // 8
     add_c = 8 * number
@@ -1344,8 +1401,13 @@ def encoder_shift_block_chw(cab_params: list, x: ChwTensor, *, rounds: int,
     from shiftnet_tpu.ops.chw_grad import naf_cab_chw_d, shift_round_chw_d
 
     def one_round(x, prm, reverse):
-        y, hw = shift_round_chw_d(x, add_c, number, reverse,
-                                  boundary_patch)
+        if axis is None:
+            y, hw = shift_round_chw_d(x, add_c, number, reverse,
+                                      boundary_patch)
+        else:
+            y = temporal_shift_chw(x, reverse=reverse,
+                                   boundary_patch=boundary_patch, axis=axis)
+            hw = gsts_hw_chw(y, add_c, number, reverse=reverse)
         p2, p1 = prm
         x = naf_cab_chw_d(y, hw, p2, groups, mid_ca, last_bias)
         return naf_cab_chw_d(x, None, p1, groups, mid_ca, last_bias)

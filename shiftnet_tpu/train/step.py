@@ -238,8 +238,17 @@ def make_tsharded_train_step(model, tx, task: TaskConfig, mesh,
         clip_spec = P(data_axis, time_axis)
         in_specs = (P(), clip_spec, clip_spec,
                     clip_spec if noise_map is not None else P(), P())
-        sharded_loss = shard_map(local_loss, mesh=mesh, in_specs=in_specs,
-                                 out_specs=P())
+        # check_vma=False: the fused forward's pallas_calls don't annotate
+        # varying-mesh-axes on their out_shapes (jax 0.9 rejects them under
+        # the default VMA tracking); correctness vs the single-device step
+        # is asserted by tests/test_multichip.py instead.
+        try:
+            sharded_loss = shard_map(local_loss, mesh=mesh,
+                                     in_specs=in_specs, out_specs=P(),
+                                     check_vma=False)
+        except TypeError:  # older jax without check_vma
+            sharded_loss = shard_map(local_loss, mesh=mesh,
+                                     in_specs=in_specs, out_specs=P())
 
         def compute_loss(params):
             return sharded_loss(params, lq, gt, noise_map, rng_loss)

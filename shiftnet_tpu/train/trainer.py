@@ -69,12 +69,21 @@ class Trainer:
         # This is how reference-scale sequences (n_sequence 16-23 @ patch
         # 256, options/gopro_deblur.yml:13,20) train when a single chip's
         # HBM can't hold the clip: per-device activations scale 1/N.  The
-        # t-sharded step runs the unfused (XLA) forward: the packed-CHW
-        # Pallas kernels don't take a sharded frame axis.
+        # t-sharded step runs the fused packed-CHW forward too (round 5):
+        # the shard-local kernels are frame-local, and the temporal shifts
+        # route through the ppermute packed variant.
         self.time_parallel = int(opt.get('time_parallel', 1))
-        fused = (bool(opt.get('fused', True))
-                 and compute_dtype == jnp.bfloat16
-                 and self.time_parallel == 1)
+        # Training default: UNFUSED (plain XLA NHWC autodiff).  Measured
+        # round 5 (tools/bench_train.py; table in PERF.md): at training
+        # patches (256^2) the packed-CHW kernels hit the narrow-row VMEM
+        # derate and the round-pair remat re-runs them in the backward —
+        # 2.2-3.7x SLOWER than XLA autodiff — and fused OOMs at T=16
+        # where unfused fits the FULL reference clip (T=23 patch 256,
+        # 3.27 s/step) on one 16 GB chip.  `fused: true` keeps the
+        # packed-CHW custom-VJP path available (it wins at inference
+        # scales, not training scales).
+        fused = (bool(opt.get('fused', False))
+                 and compute_dtype == jnp.bfloat16)
         # self.model is always traceable OUTSIDE shard_map (init, visual
         # dumps, validation); the time-axis twin (identical param tree —
         # time_axis/past/future don't touch parameters) exists only for the
@@ -90,7 +99,8 @@ class Trainer:
                 opt['n_sequence'], self.time_parallel)
             self._ts_model = build_model(variant, dtype=compute_dtype,
                                          past_frames=0, future_frames=0,
-                                         time_axis='time', **mov)
+                                         time_axis='time', fused_chw=fused,
+                                         **mov)
         self.task = TaskConfig(
             kind=task_kind,
             loss_spec=opt.get('loss_type', '1*L1'),

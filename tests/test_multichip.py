@@ -89,8 +89,15 @@ def test_loss_decreases_over_steps():
     assert int(state.step) == 8
 
 
-@pytest.mark.parametrize('kind', ['deblur', 'denoise'])
-def test_tsharded_train_step_matches_single_device(kind):
+@pytest.mark.parametrize('kind,fused', [
+    ('deblur', False),
+    ('denoise', False),
+    # fused legs compile the interpret-mode Pallas graph fwd+bwd on the
+    # single CPU core — minutes each (persistent cache makes reruns fast)
+    pytest.param('deblur', True, marks=pytest.mark.slow),
+    pytest.param('denoise', True, marks=pytest.mark.slow),
+])
+def test_tsharded_train_step_matches_single_device(kind, fused):
     """Sequence-parallel training (frame axis sharded over a 'time' mesh
     axis, per-round ppermute halo exchange in fwd AND bwd, psum'd masked
     loss) == the plain single-device train step.  This is the path that
@@ -102,7 +109,11 @@ def test_tsharded_train_step_matches_single_device(kind):
 
     # shift_rounds=2 exercises the lax.scan round-pair path (fwd + rev
     # shifts with cross-shard ppermute inside a remat'd scan body).
-    tiny = dict(TINY, shift_rounds=2)
+    # fused=True runs the packed-CHW Pallas forward (interpret mode on
+    # CPU) with the sharded packed temporal shift
+    # (ops/naf_chw.temporal_shift_chw(axis=...)) — the round-5 path that
+    # trains reference scale on the fast kernels.
+    tiny = dict(TINY, shift_rounds=2, fused_chw=fused)
     extra = {}
     if kind == 'denoise':
         # exercise ShiftCAB's sharded temporal shift too
