@@ -48,11 +48,36 @@ TAIL = 128  # trailing slack lanes so last-row conv taps never read OOB
 
 
 
-def mosaic_params():
-    """Per-kernel Mosaic scoped-VMEM limit (None = Mosaic's ~16 MB
-    default).  See ops/naf_chw._mosaic_params; env SHIFTNET_VMEM_LIMIT_MB."""
+def vmem_limit_mb() -> float:
+    """Mosaic scoped-VMEM limit in MB (round-5 finding): the "16 MB VMEM"
+    wall rounds 2-4 tiled against is Mosaic's DEFAULT scoped limit, not
+    hardware — the v5e has 128 MiB physical VMEM.  Raising the limit via
+    pallas_call compiler_params (XLA_FLAGS can't carry TPU flags through
+    the local flag parser) lets the row-tile pickers choose ~3x larger
+    tiles: measured CAB2 gate 12.34 -> 10.20 ms, CAB1 8.41 -> 7.73 ms at
+    the 720p L1 shape (tools/sweep_gate.py, th 4 -> 12).  Env override:
+    SHIFTNET_VMEM_LIMIT_MB (0 disables -> Mosaic default)."""
     import os
-    mb = float(os.environ.get('SHIFTNET_VMEM_LIMIT_MB', '0'))
+    return float(os.environ.get('SHIFTNET_VMEM_LIMIT_MB', '100'))
+
+
+def cap_scale() -> float:
+    """Scale factor applied to the calibrated VMEM budget caps.  The caps
+    were swept under the default ~16 MB scoped limit with an observed
+    1.5-2.7x Mosaic inflation over hand-counted budgets; with the limit
+    at L MB, budgets up to ~L/2.5 are safe.  Clamped to 4x: beyond that
+    the tile pickers leave the halo-amortized regime anyway and compile
+    risk grows."""
+    mb = vmem_limit_mb()
+    if mb <= 16:
+        return 1.0
+    return min(4.0, mb / 25.0)
+
+
+def mosaic_params():
+    """pallas_call compiler_params carrying ``vmem_limit_mb`` (None =
+    Mosaic default; ignored in interpret mode)."""
+    mb = vmem_limit_mb()
     if mb <= 0:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=int(mb * 1024 * 1024))
@@ -188,8 +213,11 @@ def vmem_cap(esz: int, base_mb: int = 10, ws: int | None = None) -> int:
     shapes) the s2d front kernel compiled to 2.7x its budget (est 6.6 MB ->
     18.0 MB scoped, > the 16 MB limit) vs <=1.9x at the ws>=384 shapes the
     base caps were calibrated on — per-phase fixed temporaries amortize
-    worse over narrow rows.  Derate proportionally below ws=256."""
-    cap = int(base_mb * 1024 * 1024 * (1.0 if esz == 2 else 0.42))
+    worse over narrow rows.  Derate proportionally below ws=256.
+    ``cap_scale`` lifts the cap when the Mosaic scoped-VMEM limit is
+    raised (round 5)."""
+    cap = int(base_mb * cap_scale() * 1024 * 1024
+              * (1.0 if esz == 2 else 0.42))
     if ws is not None and ws < 256:
         cap = cap * ws // 256
     return cap

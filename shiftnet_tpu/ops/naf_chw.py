@@ -48,18 +48,11 @@ from shiftnet_tpu.ops.shift import shift_dir_table
 
 
 def _mosaic_params():
-    """Per-kernel Mosaic scoped-VMEM limit (None = Mosaic's default, ~16
-    MB).  The v5e has far more physical VMEM (128 MiB) than the default
-    scoped limit; raising it lets the row-tile pickers choose larger
-    tiles (less halo recompute).  XLA_FLAGS can't carry TPU flags here
-    (the local flag parser predates the remote TPU plugin), so the limit
-    rides pallas_call compiler_params instead.  Env:
-    SHIFTNET_VMEM_LIMIT_MB (0/unset = default)."""
-    import os
-    mb = float(os.environ.get('SHIFTNET_VMEM_LIMIT_MB', '0'))
-    if mb <= 0:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=int(mb * 1024 * 1024))
+    """Per-kernel Mosaic scoped-VMEM limit — see chw.vmem_limit_mb (the
+    "16 MB VMEM" wall of rounds 2-4 was Mosaic's default scoped limit,
+    not hardware; the v5e has 128 MiB physical VMEM)."""
+    from shiftnet_tpu.ops.chw import mosaic_params
+    return mosaic_params()
 
 
 def temporal_shift_chw(x: ChwTensor, *, reverse: bool = False,
@@ -499,7 +492,8 @@ def shift_round_chw(x: ChwTensor, add_c: int, number: int, *,
     esz = jnp.dtype(dtype).itemsize
     cap_mb = float(os.environ.get('SHIFTNET_SHIFT_CAP_MB',
                                   '13' if esz == 2 else '4'))
-    cap = int(cap_mb * 1024 * 1024)
+    from shiftnet_tpu.ops.chw import cap_scale
+    cap = int(cap_mb * cap_scale() * 1024 * 1024)
     if ws < 256:
         cap = cap * ws // 256
     th = _pick_th(gh, lambda t2: _shift_round_budget(t2, ws, pf, add_c, acb,
@@ -1205,7 +1199,8 @@ def naf_cab_chw(y: ChwTensor, hw: ChwTensor | None,
     # 16.3 MB did not fit the 16 MB VMEM) — cap just under the limit.
     cap_mb = float(os.environ.get('SHIFTNET_NAF_CAP_MB',
                                   '14' if esz == 2 else '4'))
-    cap = int(cap_mb * 1024 * 1024)
+    from shiftnet_tpu.ops.chw import cap_scale
+    cap = int(cap_mb * cap_scale() * 1024 * 1024)
     if ws < 256:
         # Narrow-row derate — same calibration as chw.vmem_cap: observed
         # scoped-VMEM inflation is ~1.4x worse at ws=128 than at the
