@@ -64,11 +64,14 @@ class Evaluator:
             # measurement.
             bf16 = not CONFIGS[variant].noise_map
         overrides = dict(overrides or {})
-        # Packed-CHW fused inference path by default for bf16 eval (falls
-        # back per-shape via ops/chw.py tfr_shapes_ok).  The f32 protocol
-        # (denoise_plus) stays on the XLA path: f32 doubles the kernels'
-        # VMEM footprint and forces tiny row tiles.
-        overrides.setdefault('fused_chw', bf16)
+        # Packed-CHW fused inference for BOTH precisions (round 5): with
+        # the Mosaic scoped-VMEM limit raised (chw.vmem_limit_mb) the f32
+        # kernels get real row tiles too — measured denoise_plus 480p f32:
+        # 1.701 fps unfused -> 5.712 fps fused (tools/bench_denoise.py),
+        # and the kernels are exact at matched dtype (PERF.md round-4
+        # drift decomposition).  Falls back per-shape via
+        # ops/chw.py tfr_shapes_ok.
+        overrides.setdefault('fused_chw', True)
         cfg = CONFIGS[variant].replace(past_frames=halo, future_frames=halo,
                                        **overrides)
         self.cfg = cfg

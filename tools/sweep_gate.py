@@ -62,8 +62,10 @@ def main():
     t = sys.argv[2] if len(sys.argv) > 2 else '8'
     var = 'SHIFTNET_NAF_TH_GATE' if kind == 'gate' else 'SHIFTNET_NAF_TH_REP'
     stage = 'gate' if kind == 'gate' else 'rep'
+    ths = tuple(int(v) for v in os.environ.get(
+        'SWEEP_THS', '2,3,4,6,9,12').split(','))
     for which in ('cab1', 'cab2'):
-        for th in (2, 3, 4, 6, 9, 12):
+        for th in ths:
             env = dict(os.environ)
             env[var] = str(th)
             r = subprocess.run(
